@@ -1,0 +1,13 @@
+from .coder import (DeltaXYWHBBoxCoder, PseudoBBoxCoder, TBLRBBoxCoder,
+                    bbox2delta, delta2bbox)
+from .iou import bbox_overlaps
+from .transforms import (bbox2result, bbox2roi, bbox_area, bbox_center_wh,
+                         bbox_flip, bbox_mapping, bbox_mapping_back,
+                         distance2bbox, roi2bbox_list)
+
+__all__ = [
+    'DeltaXYWHBBoxCoder', 'PseudoBBoxCoder', 'TBLRBBoxCoder', 'bbox2delta',
+    'delta2bbox', 'bbox_overlaps', 'bbox2roi', 'bbox2result', 'bbox_flip',
+    'bbox_mapping', 'bbox_mapping_back', 'distance2bbox', 'roi2bbox_list',
+    'bbox_area', 'bbox_center_wh',
+]

@@ -1,0 +1,45 @@
+"""Pairwise box IoU / IoF (jnp).
+
+TPU-native counterpart of ref: mmdet/core/bbox/iou_calculators/iou2d_calculator.py.
+Fully vectorized; safe on padded (zero-area) boxes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-6
+
+
+def bbox_overlaps(bboxes1, bboxes2, mode='iou', is_aligned=False):
+    """Compute IoU/IoF between two box sets.
+
+    Args:
+        bboxes1: (..., m, 4)
+        bboxes2: (..., n, 4)
+        mode: 'iou' (intersection over union) or 'iof'
+            (intersection over the area of bboxes1).
+        is_aligned: if True, m == n and overlap is computed element-wise,
+            returning (..., m); otherwise returns (..., m, n).
+    """
+    assert mode in ('iou', 'iof')
+    area1 = (bboxes1[..., 2] - bboxes1[..., 0]) * (
+        bboxes1[..., 3] - bboxes1[..., 1])
+    area2 = (bboxes2[..., 2] - bboxes2[..., 0]) * (
+        bboxes2[..., 3] - bboxes2[..., 1])
+
+    if is_aligned:
+        lt = jnp.maximum(bboxes1[..., :2], bboxes2[..., :2])
+        rb = jnp.minimum(bboxes1[..., 2:4], bboxes2[..., 2:4])
+        wh = jnp.clip(rb - lt, 0, None)
+        overlap = wh[..., 0] * wh[..., 1]
+        union = area1 + area2 - overlap if mode == 'iou' else area1
+    else:
+        lt = jnp.maximum(bboxes1[..., :, None, :2], bboxes2[..., None, :, :2])
+        rb = jnp.minimum(bboxes1[..., :, None, 2:4], bboxes2[..., None, :, 2:4])
+        wh = jnp.clip(rb - lt, 0, None)
+        overlap = wh[..., 0] * wh[..., 1]
+        if mode == 'iou':
+            union = area1[..., :, None] + area2[..., None, :] - overlap
+        else:
+            union = jnp.broadcast_to(area1[..., :, None], overlap.shape)
+    return overlap / jnp.maximum(union, EPS)

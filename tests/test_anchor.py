@@ -1,0 +1,47 @@
+import numpy as np
+
+from arfe_tpu.core.anchor import AnchorGenerator
+
+
+def test_grid_anchors_golden():
+    # Golden from the reference docstring
+    # (ref: mmdet/core/anchor/anchor_generator.py:41-56).
+    gen = AnchorGenerator(strides=[16], ratios=[1.], scales=[1.],
+                          base_sizes=[9])
+    anchors = gen.grid_anchors([(2, 2)])[0]
+    expected = np.array([[-4.5, -4.5, 4.5, 4.5],
+                         [11.5, -4.5, 20.5, 4.5],
+                         [-4.5, 11.5, 4.5, 20.5],
+                         [11.5, 11.5, 20.5, 20.5]])
+    np.testing.assert_allclose(anchors, expected)
+
+
+def test_retina_octave_scales():
+    gen = AnchorGenerator(strides=[8, 16, 32, 64, 128], ratios=[0.5, 1.0, 2.0],
+                          octave_base_scale=4, scales_per_octave=3)
+    assert gen.num_levels == 5
+    assert gen.num_base_anchors == [9] * 5
+    np.testing.assert_allclose(gen.scales, 4 * 2 ** (np.arange(3) / 3),
+                               rtol=1e-6)
+    # ratio 1.0 scale 4 at stride 8: square anchor of side 32
+    ba = gen.base_anchors[0]
+    sq = ba[3]  # ratios are [0.5, 1, 2], scale-major: idx 3 = ratio1/scale0
+    np.testing.assert_allclose(sq, [-16, -16, 16, 16], atol=1e-4)
+
+
+def test_rpn_anchor_shapes():
+    gen = AnchorGenerator(strides=[4, 8, 16, 32, 64], ratios=[0.5, 1.0, 2.0],
+                          scales=[8])
+    sizes = [(200, 336), (100, 168), (50, 84), (25, 42), (13, 21)]
+    anchors = gen.grid_anchors(sizes)
+    for (h, w), a in zip(sizes, anchors):
+        assert a.shape == (h * w * 3, 4)
+
+
+def test_valid_flags():
+    gen = AnchorGenerator(strides=[16], ratios=[1.], scales=[8.])
+    flags = gen.valid_flags([(4, 4)], (33, 33))
+    # ceil(33/16)=3 valid rows/cols of 4
+    f = flags[0].reshape(4, 4)
+    assert f[:3, :3].all()
+    assert not f[3, :].any() and not f[:, 3].any()
