@@ -1,0 +1,161 @@
+"""Anchor-based dense head (functional, static-shape).
+
+TPU-native counterpart of ref: mmdet/models/dense_heads/anchor_head.py:13-553.
+Key departures from the reference, by design:
+- ``get_bboxes`` is fully batched and static-shape: per-level ``nms_pre``
+  top-k uses fixed k, NMS has fixed output capacity with validity masks, so
+  the whole decode+NMS path lives inside one jit with no host round-trips.
+- feature maps are NHWC; flattening (H, W, A*C) -> (H*W*A, C) yields the same
+  row order as the reference's permute(1,2,0).reshape (h-major, then w, a).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox.coder import delta2bbox
+from ...core.post.bbox_nms import multiclass_nms
+from ...registry import ANCHOR_GENERATORS, BBOX_CODERS, HEADS, build_from_cfg
+from ..layers import Conv2d, Module
+
+
+@HEADS.register_module()
+class AnchorHead(Module):
+    def __init__(self, num_classes, in_channels, feat_channels=256,
+                 anchor_generator=None, bbox_coder=None,
+                 reg_decoded_bbox=False, background_label=None,
+                 loss_cls=None, loss_bbox=None, train_cfg=None,
+                 test_cfg=None):
+        self.num_classes = num_classes
+        self.in_channels = in_channels
+        self.feat_channels = feat_channels
+        loss_cls = loss_cls or dict(type='CrossEntropyLoss',
+                                    use_sigmoid=True, loss_weight=1.0)
+        loss_bbox = loss_bbox or dict(type='SmoothL1Loss', beta=1.0 / 9.0,
+                                      loss_weight=1.0)
+        self.use_sigmoid_cls = loss_cls.get('use_sigmoid', False)
+        self.sampling = loss_cls.get('type') not in \
+            ('FocalLoss', 'GHMC', 'QualityFocalLoss')
+        self.cls_out_channels = (num_classes if self.use_sigmoid_cls
+                                 else num_classes + 1)
+        # BG label is num_classes since v2.0 (ref: anchor_head.py:64-69)
+        self.background_label = (num_classes if background_label is None
+                                 else background_label)
+        self.reg_decoded_bbox = reg_decoded_bbox
+        self.loss_cls_cfg = dict(loss_cls)
+        self.loss_bbox_cfg = dict(loss_bbox)
+        bbox_coder = bbox_coder or dict(type='DeltaXYWHBBoxCoder')
+        self.bbox_coder = build_from_cfg(bbox_coder, BBOX_CODERS)
+        anchor_generator = anchor_generator or dict(
+            type='AnchorGenerator', scales=[8, 16, 32],
+            ratios=[0.5, 1.0, 2.0], strides=[4, 8, 16, 32, 64])
+        self.anchor_generator = build_from_cfg(anchor_generator,
+                                               ANCHOR_GENERATORS)
+        self.num_anchors = self.anchor_generator.num_base_anchors[0]
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+        self._init_layers()
+
+    def _init_layers(self):
+        self.conv_cls = Conv2d(self.in_channels,
+                               self.num_anchors * self.cls_out_channels, 1,
+                               weight_init='normal', init_std=0.01)
+        self.conv_reg = Conv2d(self.in_channels, self.num_anchors * 4, 1,
+                               weight_init='normal', init_std=0.01)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {'conv_cls': self.conv_cls.init(k1),
+                'conv_reg': self.conv_reg.init(k2)}
+
+    def forward_single(self, params, x):
+        return (self.conv_cls(params['conv_cls'], x),
+                self.conv_reg(params['conv_reg'], x))
+
+    def __call__(self, params, feats):
+        outs = [self.forward_single(params, f) for f in feats]
+        return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def _flatten_level(self, cls_score, bbox_pred):
+        """(B,H,W,A*C),(B,H,W,A*4) -> (B,HWA,C),(B,HWA,4)."""
+        b = cls_score.shape[0]
+        c = self.cls_out_channels
+        scores = cls_score.reshape(b, -1, c)
+        preds = bbox_pred.reshape(b, -1, 4)
+        return scores, preds
+
+    def _topk_level(self, scores, preds, anchors, nms_pre):
+        """Per-level static top-k by max foreground score
+        (ref: anchor_head.py:521-534)."""
+        hwa = scores.shape[1]
+        if self.use_sigmoid_cls:
+            probs = jax.nn.sigmoid(scores)
+            max_scores = probs.max(axis=-1)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            max_scores = probs[..., :-1].max(axis=-1)
+        if nms_pre <= 0 or hwa <= nms_pre:
+            b = scores.shape[0]
+            anc = jnp.broadcast_to(anchors[None], (b, hwa, 4))
+            return probs, preds, anc
+        _, idx = jax.lax.top_k(max_scores, nms_pre)
+        probs = jnp.take_along_axis(probs, idx[..., None], axis=1)
+        preds = jnp.take_along_axis(preds, idx[..., None], axis=1)
+        anc = anchors[idx]
+        return probs, preds, anc
+
+    def get_bboxes(self, cls_scores, bbox_preds, img_shapes, scale_factors,
+                   cfg=None, rescale=False):
+        """Batched static decode + NMS (ref: anchor_head.py:420-553).
+
+        Args:
+            cls_scores / bbox_preds: per-level NHWC head outputs.
+            img_shapes: (B, 2) dynamic (h, w) of resized (unpadded) images.
+            scale_factors: (B, 4) resize factors.
+        Returns:
+            dets (B, max_per_img, 5), labels (B, max_per_img),
+            valid (B, max_per_img).
+        """
+        cfg = self.test_cfg if cfg is None else cfg
+        featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+
+        probs_l, preds_l, anchors_l = [], [], []
+        for cls_score, bbox_pred, anchors in zip(cls_scores, bbox_preds,
+                                                 mlvl_anchors):
+            scores, preds = self._flatten_level(cls_score, bbox_pred)
+            probs, preds, anc = self._topk_level(
+                scores, preds, jnp.asarray(anchors), nms_pre)
+            probs_l.append(probs)
+            preds_l.append(preds)
+            anchors_l.append(anc)
+        probs = jnp.concatenate(probs_l, axis=1)
+        preds = jnp.concatenate(preds_l, axis=1)
+        anchors = jnp.concatenate(anchors_l, axis=1)
+
+        def _decode_one(anc, prd, shape):
+            return self.bbox_coder.decode(anc, prd, max_shape=shape)
+
+        bboxes = jax.vmap(_decode_one)(anchors, preds, img_shapes)
+        if rescale:
+            bboxes = bboxes / scale_factors[:, None, :4]
+        if self.use_sigmoid_cls:
+            padding = jnp.zeros(probs.shape[:-1] + (1,), probs.dtype)
+            probs = jnp.concatenate([probs, padding], axis=-1)
+
+        nms_cfg = dict(cfg['nms'])
+        max_per_img = cfg['max_per_img']
+        score_thr = cfg['score_thr']
+        pre_cap = cfg.get('nms_cap', 2000)
+
+        def _nms_one(bb, ss):
+            return multiclass_nms(bb, ss, score_thr, nms_cfg,
+                                  max_num=max_per_img, pre_nms_cap=pre_cap)
+
+        dets, labels, valid = jax.vmap(_nms_one)(bboxes, probs)
+        return dets, labels, valid

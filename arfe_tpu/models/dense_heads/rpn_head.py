@@ -1,0 +1,106 @@
+"""RPN head (ref: mmdet/models/dense_heads/rpn_head.py:12-120).
+
+Static-shape proposal path: per-level top-k at fixed k, validity-masked
+min-size filter, level-keyed batched NMS with fixed ``nms_post`` capacity —
+the exact semantics of the reference's ``_get_bboxes_single`` (per-level
+score sort -> concat -> decode -> size filter -> NMS keyed by level id ->
+top ``nms_post``), with masks instead of boolean indexing.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.nms import batched_nms
+from ...registry import HEADS
+from ..layers import Conv2d
+from .anchor_head import AnchorHead
+
+
+@HEADS.register_module()
+class RPNHead(AnchorHead):
+    def __init__(self, in_channels, **kwargs):
+        super().__init__(1, in_channels, background_label=0, **kwargs)
+
+    def _init_layers(self):
+        self.rpn_conv = Conv2d(self.in_channels, self.feat_channels, 3,
+                               padding=1, weight_init='normal', init_std=0.01)
+        self.rpn_cls = Conv2d(self.feat_channels,
+                              self.num_anchors * self.cls_out_channels, 1,
+                              weight_init='normal', init_std=0.01)
+        self.rpn_reg = Conv2d(self.feat_channels, self.num_anchors * 4, 1,
+                              weight_init='normal', init_std=0.01)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {'rpn_conv': self.rpn_conv.init(k1),
+                'rpn_cls': self.rpn_cls.init(k2),
+                'rpn_reg': self.rpn_reg.init(k3)}
+
+    def forward_single(self, params, x):
+        x = jax.nn.relu(self.rpn_conv(params['rpn_conv'], x))
+        return (self.rpn_cls(params['rpn_cls'], x),
+                self.rpn_reg(params['rpn_reg'], x))
+
+    def get_bboxes(self, cls_scores, bbox_preds, img_shapes,
+                   scale_factors=None, cfg=None, rescale=False):
+        """Batched proposal generation.
+
+        Returns:
+            proposals: (B, nms_post, 5) [x1,y1,x2,y2,score], padded rows
+                score -1 / zero boxes.
+            valid: (B, nms_post) bool.
+        """
+        cfg = self.test_cfg if cfg is None else cfg
+        featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+        nms_post = cfg.get('nms_post', cfg.get('max_num', 1000))
+
+        scores_l, preds_l, anchors_l, ids_l = [], [], [], []
+        for lvl, (cls_score, bbox_pred, anchors) in enumerate(
+                zip(cls_scores, bbox_preds, mlvl_anchors)):
+            b = cls_score.shape[0]
+            if self.use_sigmoid_cls:
+                flat = cls_score.reshape(b, -1)
+                scores = jax.nn.sigmoid(flat)
+            else:
+                flat = cls_score.reshape(b, -1, 2)
+                scores = jax.nn.softmax(flat, axis=-1)[..., 0]
+            preds = bbox_pred.reshape(b, -1, 4)
+            hwa = scores.shape[1]
+            anchors = jnp.asarray(anchors)
+            if nms_pre > 0 and hwa > nms_pre:
+                scores, idx = jax.lax.top_k(scores, nms_pre)
+                preds = jnp.take_along_axis(preds, idx[..., None], axis=1)
+                anc = anchors[idx]
+            else:
+                anc = jnp.broadcast_to(anchors[None], (b, hwa, 4))
+            scores_l.append(scores)
+            preds_l.append(preds)
+            anchors_l.append(anc)
+            ids_l.append(jnp.full(scores.shape, lvl, jnp.int32))
+        scores = jnp.concatenate(scores_l, axis=1)
+        preds = jnp.concatenate(preds_l, axis=1)
+        anchors = jnp.concatenate(anchors_l, axis=1)
+        ids = jnp.concatenate(ids_l, axis=1)
+
+        def _decode_one(anc, prd, shape):
+            return self.bbox_coder.decode(anc, prd, max_shape=shape)
+
+        proposals = jax.vmap(_decode_one)(anchors, preds, img_shapes)
+
+        min_size = cfg.get('min_bbox_size', 0)
+        w = proposals[..., 2] - proposals[..., 0]
+        h = proposals[..., 3] - proposals[..., 1]
+        valid = (w >= min_size) & (h >= min_size)
+
+        nms_cfg = dict(type='nms', iou_thr=cfg['nms_thr'])
+
+        def _nms_one(boxes, sc, lvl_ids, vm):
+            dets, _, out_valid = batched_nms(boxes, sc, lvl_ids, nms_cfg,
+                                             max_out=nms_post, valid_mask=vm)
+            return dets, out_valid
+
+        dets, out_valid = jax.vmap(_nms_one)(proposals, scores, ids, valid)
+        return dets, out_valid

@@ -1,0 +1,95 @@
+"""Single-stage detector (ref: mmdet/models/detectors/single_stage.py:9-105).
+
+Functional: ``simple_test`` is a pure function of (params, batch) suitable
+for jit; batch dims are static.
+"""
+from __future__ import annotations
+
+import jax
+
+from ...registry import DETECTORS
+from ..builder import build_backbone, build_head, build_neck
+from ..layers import Module
+
+
+@DETECTORS.register_module()
+class SingleStageDetector(Module):
+    def __init__(self, backbone, neck=None, bbox_head=None, train_cfg=None,
+                 test_cfg=None, pretrained=None):
+        self.backbone = build_backbone(backbone)
+        self.with_neck = neck is not None
+        if self.with_neck:
+            self.neck = build_neck(neck)
+        bbox_head = dict(bbox_head)
+        bbox_head.update(train_cfg=train_cfg, test_cfg=test_cfg)
+        self.bbox_head = build_head(bbox_head)
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+        self.pretrained = pretrained
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {'backbone': self.backbone.init(k1),
+                  'bbox_head': self.bbox_head.init(k3)}
+        if self.with_neck:
+            params['neck'] = self.neck.init(k2)
+        return params
+
+    def extract_feat(self, params, img):
+        x = self.backbone(params['backbone'], img)
+        if self.with_neck:
+            x = self.neck(params['neck'], x)
+        return x
+
+    def forward_dummy(self, params, img):
+        """Head outputs only (ref: single_stage.py:48-54, used by FLOPs
+        tooling)."""
+        x = self.extract_feat(params, img)
+        return self.bbox_head(params['bbox_head'], x)
+
+    def simple_test(self, params, img, img_shapes, scale_factors,
+                    rescale=False):
+        """Batched inference.
+
+        Args:
+            img: (B, H, W, 3) normalized, padded.
+            img_shapes: (B, 2) resized (h, w) before padding.
+            scale_factors: (B, 4).
+        Returns:
+            dets (B, max_per_img, 5), labels (B, max_per_img),
+            valid (B, max_per_img).
+        """
+        x = self.extract_feat(params, img)
+        cls_scores, bbox_preds = self.bbox_head(params['bbox_head'], x)
+        return self.bbox_head.get_bboxes(cls_scores, bbox_preds, img_shapes,
+                                         scale_factors, rescale=rescale)
+
+
+@DETECTORS.register_module()
+class RetinaNet(SingleStageDetector):
+    """ref: mmdet/models/detectors/retinanet.py"""
+
+
+@DETECTORS.register_module()
+class FCOS(SingleStageDetector):
+    """ref: mmdet/models/detectors/fcos.py"""
+
+
+@DETECTORS.register_module()
+class FSAF(SingleStageDetector):
+    """ref: mmdet/models/detectors/fsaf.py"""
+
+
+@DETECTORS.register_module()
+class ATSS(SingleStageDetector):
+    """ref: mmdet/models/detectors/atss.py"""
+
+
+@DETECTORS.register_module()
+class FOVEA(SingleStageDetector):
+    """ref: mmdet/models/detectors/fovea.py"""
+
+
+@DETECTORS.register_module()
+class SSD(SingleStageDetector):
+    """ref: mmdet/models/detectors/ssd.py (SingleStageDetector alias)."""

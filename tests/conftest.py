@@ -1,9 +1,17 @@
-"""Test env: force an 8-device virtual CPU mesh before JAX initializes so
-pjit/psum logic is exercised without TPUs (SURVEY.md §4)."""
+"""Test env: force an 8-device virtual CPU mesh so pjit/psum logic is
+exercised without TPUs (SURVEY.md §4).
+
+Note: this machine's sitecustomize force-registers the `axon` TPU platform
+and overrides the JAX_PLATFORMS env var, so platform selection must go
+through jax.config AFTER import (env-var setdefault is not enough).
+"""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
