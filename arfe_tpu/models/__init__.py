@@ -3,6 +3,7 @@ from .builder import (build_backbone, build_detector, build_head, build_neck,
 from .backbones import *  # noqa: F401,F403
 from .necks import *  # noqa: F401,F403
 from .dense_heads import *  # noqa: F401,F403
+from .roi_heads import *  # noqa: F401,F403
 from .detectors import *  # noqa: F401,F403
 
 __all__ = ['build_backbone', 'build_neck', 'build_head',

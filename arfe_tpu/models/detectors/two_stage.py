@@ -1,0 +1,123 @@
+"""Two-stage detector (ref: mmdet/models/detectors/two_stage.py:67-342)."""
+from __future__ import annotations
+
+import jax
+
+from ...registry import DETECTORS
+from ..builder import build_backbone, build_head, build_neck
+from ..layers import Module
+
+
+@DETECTORS.register_module()
+class TwoStageDetector(Module):
+    def __init__(self, backbone, neck=None, rpn_head=None, roi_head=None,
+                 train_cfg=None, test_cfg=None, pretrained=None):
+        self.backbone = build_backbone(backbone)
+        self.with_neck = neck is not None
+        if self.with_neck:
+            self.neck = build_neck(neck)
+        self.with_rpn = rpn_head is not None
+        if self.with_rpn:
+            rpn_head = dict(rpn_head)
+            rpn_train_cfg = train_cfg.get('rpn') if train_cfg else None
+            rpn_head.update(train_cfg=rpn_train_cfg,
+                            test_cfg=test_cfg.get('rpn') if test_cfg
+                            else None)
+            self.rpn_head = build_head(rpn_head)
+        if roi_head is not None:
+            roi_head = dict(roi_head)
+            roi_head.update(train_cfg=train_cfg.get('rcnn')
+                            if train_cfg else None,
+                            test_cfg=test_cfg.get('rcnn') if test_cfg
+                            else None)
+            self.roi_head = build_head(roi_head)
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+        self.pretrained = pretrained
+
+    def init(self, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {'backbone': self.backbone.init(k1)}
+        if self.with_neck:
+            params['neck'] = self.neck.init(k2)
+        if self.with_rpn:
+            params['rpn_head'] = self.rpn_head.init(k3)
+        params['roi_head'] = self.roi_head.init(k4)
+        return params
+
+    def extract_feat(self, params, img):
+        x = self.backbone(params['backbone'], img)
+        if self.with_neck:
+            x = self.neck(params['neck'], x)
+        return x
+
+    def simple_test(self, params, img, img_shapes, scale_factors,
+                    rescale=False, proposals=None):
+        """Batched two-stage inference (ref: two_stage.py:236-330)."""
+        x = self.extract_feat(params, img)
+        if proposals is None:
+            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+            props, prop_valid = self.rpn_head.get_bboxes(
+                cls_scores, bbox_preds, img_shapes)
+        else:
+            props, prop_valid = proposals
+        return self.roi_head.simple_test(params['roi_head'], x, props,
+                                         prop_valid, img_shapes,
+                                         scale_factors, rescale=rescale)
+
+
+@DETECTORS.register_module()
+class FasterRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/faster_rcnn.py"""
+
+
+@DETECTORS.register_module()
+class MaskRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/mask_rcnn.py"""
+
+
+@DETECTORS.register_module()
+class FastRCNN(TwoStageDetector):
+    """External-proposal variant (ref: mmdet/models/detectors/fast_rcnn.py)."""
+
+
+@DETECTORS.register_module()
+class RPN(Module):
+    """Standalone RPN (ref: mmdet/models/detectors/rpn.py)."""
+
+    def __init__(self, backbone, neck=None, rpn_head=None, train_cfg=None,
+                 test_cfg=None, pretrained=None):
+        self.backbone = build_backbone(backbone)
+        self.with_neck = neck is not None
+        if self.with_neck:
+            self.neck = build_neck(neck)
+        rpn_head = dict(rpn_head)
+        rpn_head.update(train_cfg=train_cfg.get('rpn') if train_cfg else None,
+                        test_cfg=test_cfg.get('rpn') if test_cfg else None)
+        self.rpn_head = build_head(rpn_head)
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {'backbone': self.backbone.init(k1)}
+        if self.with_neck:
+            params['neck'] = self.neck.init(k2)
+        params['rpn_head'] = self.rpn_head.init(k3)
+        return params
+
+    def extract_feat(self, params, img):
+        x = self.backbone(params['backbone'], img)
+        if self.with_neck:
+            x = self.neck(params['neck'], x)
+        return x
+
+    def simple_test(self, params, img, img_shapes, scale_factors,
+                    rescale=False):
+        x = self.extract_feat(params, img)
+        cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+        props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
+                                                img_shapes)
+        if rescale:
+            props = props.at[..., :4].divide(scale_factors[:, None, :4])
+        return props, valid

@@ -1,3 +1,4 @@
 from .fpn import FPN
+from .wfpn import BFP, WFPNDualSpatial
 
-__all__ = ['FPN']
+__all__ = ['FPN', 'WFPNDualSpatial', 'BFP']

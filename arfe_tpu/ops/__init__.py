@@ -1,3 +1,6 @@
 from .nms import batched_nms, nms, nms_match, soft_nms
+from .non_local import NonLocal2D
+from .roi_align import map_roi_levels, roi_align, roi_align_pyramid, roi_pool
 
-__all__ = ['nms', 'soft_nms', 'batched_nms', 'nms_match']
+__all__ = ['nms', 'soft_nms', 'batched_nms', 'nms_match', 'NonLocal2D',
+           'roi_align', 'roi_align_pyramid', 'roi_pool', 'map_roi_levels']

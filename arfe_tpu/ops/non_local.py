@@ -1,0 +1,71 @@
+"""NonLocal2D self-attention block (used by AR-FPN).
+
+TPU-native counterpart of ref: mmdet/ops/non_local.py:6-105 (embedded-gaussian
+theta/phi/g 1x1 convs + matmul softmax). On TPU this is three 1x1 convs
+(MXU matmuls over channels) + one (HW, HW) attention matmul — XLA fuses it
+well at AR-FPN's token count (HW of the stride-16 level, ~2k-4k tokens).
+Param tree mirrors the reference: g/theta/phi/conv_out each a ConvModule
+('conv' child).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import ConvModule, Module
+
+
+class NonLocal2D(Module):
+    def __init__(self, in_channels, reduction=2, use_scale=True,
+                 conv_cfg=None, norm_cfg=None, mode='embedded_gaussian'):
+        assert mode in ('embedded_gaussian', 'dot_product')
+        self.in_channels = in_channels
+        self.reduction = reduction
+        self.use_scale = use_scale
+        self.inter_channels = in_channels // reduction
+        self.mode = mode
+        self.g = ConvModule(in_channels, self.inter_channels, 1, act_cfg=None,
+                            weight_init='normal', init_std=0.01)
+        self.theta = ConvModule(in_channels, self.inter_channels, 1,
+                                act_cfg=None, weight_init='normal',
+                                init_std=0.01)
+        self.phi = ConvModule(in_channels, self.inter_channels, 1,
+                              act_cfg=None, weight_init='normal',
+                              init_std=0.01)
+        self.conv_out = ConvModule(self.inter_channels, in_channels, 1,
+                                   norm_cfg=norm_cfg, act_cfg=None,
+                                   weight_init='normal', init_std=0.01)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        params = {'g': self.g.init(keys[0]),
+                  'theta': self.theta.init(keys[1]),
+                  'phi': self.phi.init(keys[2]),
+                  'conv_out': self.conv_out.init(keys[3])}
+        # zero-init conv_out so the block starts as identity
+        # (ref: non_local.py:56-61 zeros_init=True)
+        params['conv_out']['conv']['weight'] = jnp.zeros_like(
+            params['conv_out']['conv']['weight'])
+        if 'bias' in params['conv_out']['conv']:
+            params['conv_out']['conv']['bias'] = jnp.zeros_like(
+                params['conv_out']['conv']['bias'])
+        return params
+
+    def __call__(self, params, x):
+        n, h, w, _ = x.shape
+        ic = self.inter_channels
+        g_x = self.g(params['g'], x).reshape(n, h * w, ic)
+        theta_x = self.theta(params['theta'], x).reshape(n, h * w, ic)
+        phi_x = self.phi(params['phi'], x).reshape(n, h * w, ic)
+        pairwise = jnp.einsum('nqc,nkc->nqk', theta_x, phi_x,
+                              preferred_element_type=jnp.float32)
+        if self.mode == 'embedded_gaussian':
+            if self.use_scale:
+                pairwise = pairwise / jnp.sqrt(float(ic))
+            pairwise = jax.nn.softmax(pairwise, axis=-1)
+        else:  # dot_product
+            pairwise = pairwise / float(h * w)
+        y = jnp.einsum('nqk,nkc->nqc', pairwise.astype(g_x.dtype), g_x,
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(n, h, w, ic).astype(x.dtype)
+        return x + self.conv_out(params['conv_out'], y)
