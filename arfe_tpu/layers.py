@@ -184,9 +184,11 @@ class BatchNorm(Module):
         }
 
     def __call__(self, params, x):
-        scale = params['weight'] * jax.lax.rsqrt(
-            params['running_var'] + self.eps)
-        offset = params['bias'] - params['running_mean'] * scale
+        # running stats are buffers, not trainable (no grads flow to them)
+        mean = jax.lax.stop_gradient(params['running_mean'])
+        var = jax.lax.stop_gradient(params['running_var'])
+        scale = params['weight'] * jax.lax.rsqrt(var + self.eps)
+        offset = params['bias'] - mean * scale
         return x * scale.astype(x.dtype) + offset.astype(x.dtype)
 
 

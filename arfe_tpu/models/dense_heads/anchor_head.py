@@ -13,10 +13,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ...core.bbox.coder import delta2bbox
 from ...core.post.bbox_nms import multiclass_nms
-from ...registry import ANCHOR_GENERATORS, BBOX_CODERS, HEADS, build_from_cfg
+from ...registry import (ANCHOR_GENERATORS, BBOX_ASSIGNERS, BBOX_CODERS,
+                         BBOX_SAMPLERS, HEADS, LOSSES, build_from_cfg)
 from ..layers import Conv2d, Module
+
+
+def anchor_inside_flags(flat_anchors, valid_flags, img_shape,
+                        allowed_border=0):
+    """(ref: mmdet/core/anchor/utils.py:20-35)."""
+    if allowed_border < 0:
+        return valid_flags
+    h, w = img_shape[0], img_shape[1]
+    inside = ((flat_anchors[:, 0] >= -allowed_border)
+              & (flat_anchors[:, 1] >= -allowed_border)
+              & (flat_anchors[:, 2] < w + allowed_border)
+              & (flat_anchors[:, 3] < h + allowed_border))
+    return valid_flags & inside
 
 
 @HEADS.register_module()
@@ -54,6 +70,17 @@ class AnchorHead(Module):
         self.num_anchors = self.anchor_generator.num_base_anchors[0]
         self.train_cfg = train_cfg
         self.test_cfg = test_cfg
+        self.loss_cls = build_from_cfg(self.loss_cls_cfg, LOSSES)
+        self.loss_bbox = build_from_cfg(self.loss_bbox_cfg, LOSSES)
+        if train_cfg is not None:
+            self.assigner = build_from_cfg(train_cfg['assigner'],
+                                           BBOX_ASSIGNERS)
+            if self.sampling:
+                self.sampler = build_from_cfg(train_cfg['sampler'],
+                                              BBOX_SAMPLERS)
+            else:
+                self.sampler = build_from_cfg(dict(type='PseudoSampler'),
+                                              BBOX_SAMPLERS)
         self._init_layers()
 
     def _init_layers(self):
@@ -159,3 +186,125 @@ class AnchorHead(Module):
 
         dets, labels, valid = jax.vmap(_nms_one)(bboxes, probs)
         return dets, labels, valid
+
+    # ------------------------------------------------------------------
+    # training (ref: anchor_head.py:147-417)
+    # ------------------------------------------------------------------
+
+    def _targets_single(self, key, anchors, valid_flags, gt_bboxes, gt_valid,
+                        gt_labels, img_shape):
+        """Per-image anchor targets (ref: _get_targets_single,
+        anchor_head.py:147-243), mask-based.
+
+        Returns labels (N,), label_weights (N,), bbox_targets (N,4),
+        bbox_weights (N,4), num_pos, num_neg.
+        """
+        cfg = self.train_cfg
+        inside = anchor_inside_flags(anchors, valid_flags, img_shape,
+                                     cfg.get('allowed_border', 0))
+        assign = self.assigner.assign(
+            anchors, gt_bboxes, gt_valid,
+            None if self.sampling else gt_labels, box_valid=inside)
+        assigned = assign['assigned_gt_inds']
+        sample = self.sampler.sample(key, assigned)
+
+        n = anchors.shape[0]
+        labels = jnp.full((n,), self.background_label, jnp.int32)
+        label_weights = jnp.zeros((n,), jnp.float32)
+        bbox_targets = jnp.zeros((n, 4), jnp.float32)
+        bbox_weights = jnp.zeros((n, 4), jnp.float32)
+
+        safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
+        matched_gt = gt_bboxes[safe_gt]
+        if not self.reg_decoded_bbox:
+            all_targets = self.bbox_coder.encode(anchors, matched_gt)
+        else:
+            all_targets = matched_gt
+        if gt_labels is None:
+            all_labels = jnp.ones((n,), jnp.int32)  # RPN FG label is 1
+        else:
+            all_labels = gt_labels[safe_gt].astype(jnp.int32)
+
+        if self.sampling:
+            inds, is_pos, svalid = (sample['inds'], sample['is_pos'],
+                                    sample['valid'])
+            pos_sel = jnp.zeros((n,), bool).at[inds].max(is_pos & svalid)
+            neg_sel = jnp.zeros((n,), bool).at[inds].max(
+                (~is_pos) & svalid)
+        else:
+            pos_sel = assigned > 0
+            neg_sel = assigned == 0
+        pos_w = cfg.get('pos_weight', -1)
+        pos_w = 1.0 if pos_w <= 0 else pos_w
+        labels = jnp.where(pos_sel, all_labels, labels)
+        label_weights = jnp.where(pos_sel, pos_w, label_weights)
+        label_weights = jnp.where(neg_sel, 1.0, label_weights)
+        bbox_targets = jnp.where(pos_sel[:, None], all_targets, bbox_targets)
+        bbox_weights = jnp.where(pos_sel[:, None], 1.0, bbox_weights)
+        return (labels, label_weights, bbox_targets, bbox_weights,
+                pos_sel.sum(), neg_sel.sum())
+
+    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, gt_labels,
+             img_shapes, key):
+        """Batched loss over concatenated levels (ref: anchor_head.py:368-417;
+        computing over the concatenation equals the reference's per-level
+        multi_apply sum because the avg_factor is global).
+
+        Args:
+            cls_scores/bbox_preds: per-level NHWC outputs.
+            gt_bboxes: (B, G, 4) padded; gt_valid: (B, G); gt_labels: (B, G)
+                or None (RPN).
+            img_shapes: (B, 2).
+        """
+        b = cls_scores[0].shape[0]
+        featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        anchors = jnp.asarray(np.concatenate(mlvl_anchors, axis=0))
+        # pad-shape valid flags: batch-static (padded batches share pad shape)
+        pad_shape = (featmap_sizes[0][0] * self.anchor_generator.strides[0][0],
+                     featmap_sizes[0][1] * self.anchor_generator.strides[0][1])
+        flags = jnp.asarray(np.concatenate(
+            self.anchor_generator.valid_flags(featmap_sizes, pad_shape)))
+
+        keys = jax.random.split(key, b)
+        if gt_labels is None:
+            def tgt(k, gb, gv, shape):
+                return self._targets_single(k, anchors, flags, gb, gv, None,
+                                            shape)
+            out = jax.vmap(tgt)(keys, gt_bboxes, gt_valid, img_shapes)
+        else:
+            def tgt(k, gb, gv, gl, shape):
+                return self._targets_single(k, anchors, flags, gb, gv, gl,
+                                            shape)
+            out = jax.vmap(tgt)(keys, gt_bboxes, gt_valid, gt_labels,
+                                img_shapes)
+        labels, label_weights, bbox_targets, bbox_weights, npos, nneg = out
+        num_total_pos = jnp.maximum(npos, 1).sum()
+        num_total_neg = jnp.maximum(nneg, 1).sum()
+        num_total_samples = (num_total_pos + num_total_neg if self.sampling
+                             else num_total_pos).astype(jnp.float32)
+
+        cls_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.cls_out_channels) for s in cls_scores],
+            axis=1).reshape(-1, self.cls_out_channels)
+        box_flat = jnp.concatenate(
+            [p.reshape(b, -1, 4) for p in bbox_preds], axis=1).reshape(-1, 4)
+        labels = labels.reshape(-1)
+        label_weights = label_weights.reshape(-1)
+        bbox_targets = bbox_targets.reshape(-1, 4)
+        bbox_weights = bbox_weights.reshape(-1, 4)
+
+        if self.use_sigmoid_cls and self.cls_out_channels == 1:
+            # RPN binary case: labels 0/1 against single-logit predictions
+            loss_cls = self.loss_cls(cls_flat[:, 0], labels.astype(jnp.float32),
+                                     label_weights,
+                                     avg_factor=num_total_samples)
+        else:
+            loss_cls = self.loss_cls(cls_flat, labels, label_weights,
+                                     avg_factor=num_total_samples)
+        if self.reg_decoded_bbox:
+            box_flat = self.bbox_coder.decode(
+                jnp.tile(anchors, (b, 1)), box_flat)
+        loss_bbox = self.loss_bbox(box_flat, bbox_targets, bbox_weights,
+                                   avg_factor=num_total_samples)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)

@@ -42,6 +42,14 @@ class RPNHead(AnchorHead):
         return (self.rpn_cls(params['rpn_cls'], x),
                 self.rpn_reg(params['rpn_reg'], x))
 
+    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, img_shapes,
+             key):
+        """(ref: rpn_head.py:37-51)."""
+        losses = super().loss(cls_scores, bbox_preds, gt_bboxes, gt_valid,
+                              None, img_shapes, key)
+        return dict(loss_rpn_cls=losses['loss_cls'],
+                    loss_rpn_bbox=losses['loss_bbox'])
+
     def get_bboxes(self, cls_scores, bbox_preds, img_shapes,
                    scale_factors=None, cfg=None, rescale=False):
         """Batched proposal generation.

@@ -47,6 +47,18 @@ class SingleStageDetector(Module):
         x = self.extract_feat(params, img)
         return self.bbox_head(params['bbox_head'], x)
 
+    def forward_train(self, params, img, img_shapes, gt_bboxes, gt_valid,
+                      gt_labels, key):
+        """Training losses (ref: single_stage.py:66-79).
+
+        Args:
+            gt_bboxes: (B, G, 4) padded; gt_valid (B, G); gt_labels (B, G).
+        """
+        x = self.extract_feat(params, img)
+        cls_scores, bbox_preds = self.bbox_head(params['bbox_head'], x)
+        return self.bbox_head.loss(cls_scores, bbox_preds, gt_bboxes,
+                                   gt_valid, gt_labels, img_shapes, key)
+
     def simple_test(self, params, img, img_shapes, scale_factors,
                     rescale=False):
         """Batched inference.

@@ -51,6 +51,33 @@ class TwoStageDetector(Module):
             x = self.neck(params['neck'], x)
         return x
 
+    def forward_train(self, params, img, img_shapes, gt_bboxes, gt_valid,
+                      gt_labels, key):
+        """Training losses (ref: two_stage.py:155-217)."""
+        import jax.numpy as jnp
+
+        x = self.extract_feat(params, img)
+        losses = {}
+        k_rpn, k_rcnn = jax.random.split(key)
+        if self.with_rpn:
+            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+            losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
+                                             gt_bboxes, gt_valid, img_shapes,
+                                             k_rpn))
+            proposal_cfg = (self.train_cfg.get('rpn_proposal')
+                            if self.train_cfg else None) \
+                or (self.test_cfg.get('rpn') if self.test_cfg else None)
+            props, prop_valid = self.rpn_head.get_bboxes(
+                [jax.lax.stop_gradient(s) for s in cls_scores],
+                [jax.lax.stop_gradient(p) for p in bbox_preds],
+                img_shapes, cfg=proposal_cfg)
+        else:
+            raise ValueError('forward_train without RPN requires proposals')
+        losses.update(self.roi_head.forward_train(
+            params['roi_head'], x, props, prop_valid, gt_bboxes, gt_valid,
+            gt_labels, k_rcnn))
+        return losses
+
     def simple_test(self, params, img, img_shapes, scale_factors,
                     rescale=False, proposals=None):
         """Batched two-stage inference (ref: two_stage.py:236-330)."""

@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ....core.post.bbox_nms import multiclass_nms
-from ....registry import BBOX_CODERS, HEADS, build_from_cfg
+from ....registry import BBOX_CODERS, HEADS, LOSSES, build_from_cfg
 from ...layers import ConvModule, Linear, Module, avg_pool2d
+from ...losses.accuracy import accuracy
 
 
 @HEADS.register_module()
@@ -45,6 +46,8 @@ class BBoxHead(Module):
         self.loss_bbox_cfg = dict(loss_bbox or dict(
             type='SmoothL1Loss', beta=1.0, loss_weight=1.0))
         self.custom_cfg = kwargs
+        self.loss_cls = build_from_cfg(self.loss_cls_cfg, LOSSES)
+        self.loss_bbox = build_from_cfg(self.loss_bbox_cfg, LOSSES)
         self._init_layers()
 
     def _head_in_channels(self):
@@ -108,6 +111,55 @@ class BBoxHead(Module):
         return multiclass_nms(
             bboxes, scores, cfg['score_thr'], cfg['nms'], cfg['max_per_img'],
             pre_nms_cap=cfg.get('nms_cap', 2000), valid_mask=valid_mask)
+
+    def get_targets(self, sampled_boxes, sampled_gt_boxes, sampled_labels,
+                    is_pos, valid, pos_weight=-1):
+        """Targets for one image's sampled rois (ref: bbox_head.py:133-157 /
+        bbox_target in core).
+
+        Args:
+            sampled_boxes: (S, 4) sampled proposal boxes.
+            sampled_gt_boxes: (S, 4) matched gt box per sample (pos only
+                meaningful).
+            sampled_labels: (S,) matched gt label per sample.
+            is_pos / valid: (S,) masks from the sampler.
+        Returns:
+            labels, label_weights, bbox_targets, bbox_weights
+        """
+        s = sampled_boxes.shape[0]
+        labels = jnp.where(is_pos, sampled_labels,
+                           jnp.full((s,), self.num_classes, jnp.int32))
+        pw = 1.0 if pos_weight <= 0 else pos_weight
+        label_weights = jnp.where(valid, jnp.where(is_pos, pw, 1.0), 0.0)
+        targets = self.bbox_coder.encode(sampled_boxes, sampled_gt_boxes)
+        bbox_targets = jnp.where(is_pos[:, None], targets, 0.0)
+        bbox_weights = jnp.broadcast_to(
+            is_pos[:, None], (s, 4)).astype(jnp.float32)
+        return labels, label_weights, bbox_targets, bbox_weights
+
+    def loss(self, cls_score, bbox_pred, labels, label_weights, bbox_targets,
+             bbox_weights, **extra):
+        """(ref: bbox_head.py:159-204). All inputs flattened over batch."""
+        losses = {}
+        avg_factor = jnp.maximum(label_weights.sum(), 1.0)
+        if cls_score is not None:
+            losses['loss_cls'] = self.loss_cls(
+                cls_score, labels, label_weights, avg_factor=avg_factor)
+            losses['acc'] = accuracy(cls_score, labels,
+                                     valid_mask=label_weights > 0)
+        if bbox_pred is not None:
+            if self.reg_class_agnostic:
+                pred = bbox_pred
+            else:
+                safe = jnp.clip(labels, 0, self.num_classes - 1)
+                inds = jnp.stack([4 * safe, 4 * safe + 1, 4 * safe + 2,
+                                  4 * safe + 3], axis=-1)
+                pred = jnp.take_along_axis(bbox_pred, inds, axis=1)
+            # ref uses avg_factor = bbox_targets.size(0) (all sampled rois)
+            losses['loss_bbox'] = self.loss_bbox(
+                pred, bbox_targets, bbox_weights,
+                avg_factor=float(bbox_targets.shape[0]))
+        return losses
 
     def decoded_boxes_for_refine(self, rois, cls_score, bbox_pred, img_shape):
         """Regressed boxes of the predicted class — cascade refinement

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...registry import HEADS
+from ...registry import (BBOX_ASSIGNERS, BBOX_SAMPLERS, HEADS,
+                         build_from_cfg)
 from ..builder import build_head, build_roi_extractor
 from ..layers import Module
 
@@ -38,6 +39,11 @@ class StandardRoIHead(Module):
             self.mask_head = build_head(mask_head)
         self.train_cfg = train_cfg
         self.test_cfg = test_cfg
+        if train_cfg is not None:
+            self.assigner = build_from_cfg(train_cfg['assigner'],
+                                           BBOX_ASSIGNERS)
+            self.sampler = build_from_cfg(train_cfg['sampler'],
+                                          BBOX_SAMPLERS)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -47,6 +53,85 @@ class StandardRoIHead(Module):
         if self.with_mask:
             p['mask_head'] = self.mask_head.init(k2)
         return p
+
+    # ------------------------------------------------------------------
+    # training (ref: standard_roi_head.py:64-223)
+    # ------------------------------------------------------------------
+
+    def _assign_sample_single(self, key, proposals, prop_valid, gt_bboxes,
+                              gt_valid, gt_labels):
+        """Per-image assign + sample (ref: standard_roi_head.py:104-114).
+
+        Returns dict with sampled boxes / matched gts / labels / masks,
+        all fixed size S = sampler.num.
+        """
+        if self.sampler.add_gt_as_proposals:
+            boxes = jnp.concatenate([gt_bboxes, proposals[:, :4]], axis=0)
+            box_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
+        else:
+            boxes = proposals[:, :4]
+            box_valid = prop_valid
+        assign = self.assigner.assign(boxes, gt_bboxes, gt_valid,
+                                      gt_labels, box_valid=box_valid)
+        sample = self.sampler.sample(key, assign['assigned_gt_inds'])
+        inds = sample['inds']
+        sampled_boxes = boxes[inds]
+        assigned = assign['assigned_gt_inds'][inds]
+        safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
+        return dict(
+            boxes=sampled_boxes,
+            gt_boxes=gt_bboxes[safe_gt],
+            labels=gt_labels[safe_gt].astype(jnp.int32),
+            is_pos=sample['is_pos'],
+            valid=sample['valid'],
+        )
+
+    def forward_train(self, params, feats, proposals, prop_valid, gt_bboxes,
+                      gt_valid, gt_labels, key):
+        """Batched RoI training step (ref: standard_roi_head.py:64-133,
+        172-187).
+
+        Args:
+            proposals: (B, P, 5); prop_valid (B, P).
+            gt_bboxes: (B, G, 4); gt_valid (B, G); gt_labels (B, G).
+        Returns:
+            dict of losses.
+        """
+        b = proposals.shape[0]
+        keys = jax.random.split(key, b)
+        sampled = jax.vmap(self._assign_sample_single)(
+            keys, proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
+        s = sampled['boxes'].shape[1]
+        batch_inds = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.float32)[:, None], (b, s))
+        rois = jnp.concatenate(
+            [batch_inds[..., None], sampled['boxes']], axis=-1
+        ).reshape(b * s, 5)
+        cls_score, bbox_pred, bbox_feats = self._bbox_forward(
+            params, feats, rois)
+
+        pos_weight = self.train_cfg.get('pos_weight', -1) \
+            if self.train_cfg else -1
+
+        def tgt(boxes, gts, labels, is_pos, valid):
+            return self.bbox_head.get_targets(boxes, gts, labels, is_pos,
+                                              valid, pos_weight)
+
+        labels, label_weights, bbox_targets, bbox_weights = jax.vmap(tgt)(
+            sampled['boxes'], sampled['gt_boxes'], sampled['labels'],
+            sampled['is_pos'], sampled['valid'])
+        losses = self.bbox_head.loss(
+            cls_score, bbox_pred, labels.reshape(-1),
+            label_weights.reshape(-1), bbox_targets.reshape(-1, 4),
+            bbox_weights.reshape(-1, 4))
+        if self.with_mask:
+            losses.update(self._mask_forward_train(
+                params, feats, rois, sampled, gt_valid))
+        return losses
+
+    def _mask_forward_train(self, params, feats, rois, sampled, gt_valid):
+        """Mask branch training — attached when mask heads land."""
+        raise NotImplementedError
 
     # ------------------------------------------------------------------
     def _bbox_forward(self, params, feats, rois, **extract_kw):

@@ -1,0 +1,5 @@
+from .data_parallel import (make_dp_eval_step, make_dp_train_step, make_mesh,
+                            replicate, shard_batch)
+
+__all__ = ['make_mesh', 'shard_batch', 'replicate', 'make_dp_train_step',
+           'make_dp_eval_step']
