@@ -1,7 +1,11 @@
-from .bbox_heads import (BBoxHead, ConvFCBBoxHead, Shared2FCBBoxHead,
+from .bbox_heads import (BBoxHead, ConvFCBBoxHead, MultiBBoxHead,
+                         MultiClassesBBoxHead, MultiRoIsBBoxHead,
+                         Shared2FCBBoxHead, Shared2FCMultiClassesBBoxHead,
                          Shared4Conv1FCBBoxHead)
 from .roi_extractors import SingleRoIExtractor
 from .standard_roi_head import StandardRoIHead
 
 __all__ = ['BBoxHead', 'ConvFCBBoxHead', 'Shared2FCBBoxHead',
-           'Shared4Conv1FCBBoxHead', 'SingleRoIExtractor', 'StandardRoIHead']
+           'Shared4Conv1FCBBoxHead', 'MultiBBoxHead', 'MultiRoIsBBoxHead',
+           'MultiClassesBBoxHead', 'Shared2FCMultiClassesBBoxHead',
+           'SingleRoIExtractor', 'StandardRoIHead']

@@ -1,5 +1,9 @@
 from .bbox_head import (BBoxHead, ConvFCBBoxHead, Shared2FCBBoxHead,
                         Shared4Conv1FCBBoxHead)
+from .multi_classes_bbox_head import (MultiClassesBBoxHead,
+                                      Shared2FCMultiClassesBBoxHead)
+from .multirois_bbox_head import MultiBBoxHead, MultiRoIsBBoxHead
 
 __all__ = ['BBoxHead', 'ConvFCBBoxHead', 'Shared2FCBBoxHead',
-           'Shared4Conv1FCBBoxHead']
+           'Shared4Conv1FCBBoxHead', 'MultiBBoxHead', 'MultiRoIsBBoxHead',
+           'MultiClassesBBoxHead', 'Shared2FCMultiClassesBBoxHead']

@@ -21,13 +21,26 @@ from ..layers import Module
 class StandardRoIHead(Module):
     def __init__(self, bbox_roi_extractor=None, bbox_head=None,
                  mask_roi_extractor=None, mask_head=None, shared_head=None,
-                 train_cfg=None, test_cfg=None):
+                 multi_rois=None, adaptive_scale_fac=1.0, train_cfg=None,
+                 test_cfg=None):
+        """``multi_rois``: enable AR-RFF triple RoI extraction (original +
+        adaptively stretched, concatenated channel-wise). Defaults to True
+        when the bbox head declares ``num_roi_groups == 3`` (MultiBBoxHead
+        family) — the composable equivalent of the reference's
+        comment-toggled extraction (ref: standard_roi_head.py:137-157)."""
         assert shared_head is None, 'shared_head not yet supported'
         self.with_bbox = bbox_head is not None
         self.with_mask = mask_head is not None
         if self.with_bbox:
             self.bbox_roi_extractor = build_roi_extractor(bbox_roi_extractor)
             self.bbox_head = build_head(bbox_head)
+        if multi_rois is None:
+            multi_rois = getattr(self.bbox_head, 'num_roi_groups', 1) == 3 \
+                if self.with_bbox else False
+        self.multi_rois = multi_rois
+        self.adaptive_scale_fac = adaptive_scale_fac
+        self.with_multi_cls = getattr(self.bbox_head, 'with_multi_cls',
+                                      False) if self.with_bbox else False
         if self.with_mask:
             if mask_roi_extractor is not None:
                 self.mask_roi_extractor = build_roi_extractor(
@@ -107,8 +120,9 @@ class StandardRoIHead(Module):
         rois = jnp.concatenate(
             [batch_inds[..., None], sampled['boxes']], axis=-1
         ).reshape(b * s, 5)
-        cls_score, bbox_pred, bbox_feats = self._bbox_forward(
-            params, feats, rois)
+        out = self._bbox_forward(params, feats, rois, num_imgs=b)
+        cls_score, bbox_pred = out[0], out[1]
+        multi_cls = out[3] if self.with_multi_cls else None
 
         pos_weight = self.train_cfg.get('pos_weight', -1) \
             if self.train_cfg else -1
@@ -120,10 +134,20 @@ class StandardRoIHead(Module):
         labels, label_weights, bbox_targets, bbox_weights = jax.vmap(tgt)(
             sampled['boxes'], sampled['gt_boxes'], sampled['labels'],
             sampled['is_pos'], sampled['valid'])
+        loss_kw = {}
+        if self.with_multi_cls:
+            # per-image class-presence multi-hot from the sampled labels
+            # (includes the bg index — ref ori[labels]=1 semantics,
+            # cross_entropy_loss.py:74-80)
+            c1 = self.bbox_head.num_classes + 1
+            onehot = jax.nn.one_hot(labels, c1, dtype=jnp.float32)
+            presence = ((onehot * label_weights[..., None]).sum(axis=1)
+                        > 0).astype(jnp.int32)
+            loss_kw = dict(multi_cls=multi_cls, presence=presence)
         losses = self.bbox_head.loss(
             cls_score, bbox_pred, labels.reshape(-1),
             label_weights.reshape(-1), bbox_targets.reshape(-1, 4),
-            bbox_weights.reshape(-1, 4))
+            bbox_weights.reshape(-1, 4), **loss_kw)
         if self.with_mask:
             losses.update(self._mask_forward_train(
                 params, feats, rois, sampled, gt_valid))
@@ -134,12 +158,34 @@ class StandardRoIHead(Module):
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def _bbox_forward(self, params, feats, rois, **extract_kw):
+    def _bbox_forward(self, params, feats, rois, num_imgs=1, **extract_kw):
         """Extract roi feats + run bbox head
-        (ref: standard_roi_head.py:135-170)."""
-        bbox_feats = self.bbox_roi_extractor(
-            {}, feats[:self.bbox_roi_extractor.num_inputs], rois,
-            **extract_kw)
+        (ref: standard_roi_head.py:135-170). With ``multi_rois``, extract at
+        original + adaptively stretched boxes and concat channel-wise (the
+        AR-RFF path, ref docstring block :137-157, channel order
+        [ori, lw, lh])."""
+        from ..utils.additional import get_adaptive_scale_rois
+
+        extractor = self.bbox_roi_extractor
+        lvl_feats = feats[:extractor.num_inputs]
+        if self.multi_rois:
+            lh_rois, lw_rois = get_adaptive_scale_rois(
+                rois, self.adaptive_scale_fac)
+            # one batched extraction (vs 3 separate gather graphs): the
+            # packed-table gather is roi-count agnostic, so stacking the
+            # three roi sets compiles one kernel and splits after
+            all_rois = jnp.concatenate([rois, lw_rois, lh_rois], axis=0)
+            all_feats = extractor({}, lvl_feats, all_rois, **extract_kw)
+            r = rois.shape[0]
+            bbox_feats = jnp.concatenate(
+                [all_feats[:r], all_feats[r:2 * r], all_feats[2 * r:]],
+                axis=-1)
+        else:
+            bbox_feats = extractor({}, lvl_feats, rois, **extract_kw)
+        if self.with_multi_cls:
+            cls_score, bbox_pred, multi_cls = self.bbox_head(
+                params['bbox_head'], bbox_feats, num_imgs=num_imgs)
+            return cls_score, bbox_pred, bbox_feats, multi_cls
         cls_score, bbox_pred = self.bbox_head(params['bbox_head'], bbox_feats)
         return cls_score, bbox_pred, bbox_feats
 
@@ -161,7 +207,8 @@ class StandardRoIHead(Module):
         rois = jnp.concatenate(
             [batch_inds[..., None], proposals[..., :4]], axis=-1
         ).reshape(b * p, 5)
-        cls_score, bbox_pred, _ = self._bbox_forward(params, feats, rois)
+        out = self._bbox_forward(params, feats, rois, num_imgs=b)
+        cls_score, bbox_pred = out[0], out[1]
         cls_score = cls_score.reshape(b, p, -1)
         bbox_pred = bbox_pred.reshape(b, p, -1) \
             if bbox_pred is not None else None
@@ -213,3 +260,10 @@ class StandardRoIHead(Module):
         cls_mask = jnp.take_along_axis(
             mask_pred, flat_labels[:, :, None, None, None], axis=-1)
         return cls_mask[..., 0]
+
+
+@HEADS.register_module()
+class StandardRoIHeadPrior(StandardRoIHead):
+    """ARFE variant with clean 2-output _bbox_forward and RandomSamplerPrior
+    (ref: mmdet/models/roi_heads/standard_roi_head_prior.py:149-187); its
+    final-state behavior matches StandardRoIHead, kept as a config alias."""
