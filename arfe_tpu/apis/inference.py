@@ -95,14 +95,29 @@ def inference_detector(detector, img):
                                float(meta['img_shape'][1])]])
     sf = jnp.asarray(
         np.asarray(meta['scale_factor'], np.float32).reshape(1, 4))
-    dets, labels, valid = detector._jitted_simple_test(
+    out = detector._jitted_simple_test(
         detector.params, jnp.asarray(padded[None]), img_shapes, sf)
+    dets, labels, valid = out[:3]
     dets = np.asarray(dets[0])
     labels = np.asarray(labels[0])
     valid = np.asarray(valid[0])
     dets = np.where(valid[:, None], dets, -np.ones_like(dets))
     num_classes = _num_classes(detector)
-    return bbox2result(dets, labels, num_classes)
+    bbox_results = bbox2result(dets, labels, num_classes)
+    if len(out) == 3:
+        return bbox_results
+    # mask path: paste per-detection masks at original-image scale
+    # (ref: two_stage.py simple_test returning (bbox, segm) tuples)
+    from ..core.mask import paste_masks_np
+
+    mask_pred = 1.0 / (1.0 + np.exp(-np.asarray(out[3][0])))
+    oh, ow = meta['ori_shape'][:2]
+    pasted = paste_masks_np(mask_pred, dets[:, :4], oh, ow)
+    keep = dets[:, 4] > -1
+    segm_results = [
+        [pasted[i] for i in np.where(keep & (labels == c))[0]]
+        for c in range(num_classes)]
+    return bbox_results, segm_results
 
 
 def _num_classes(detector):

@@ -27,16 +27,28 @@ def single_device_test(model, params, data_loader, show_progress=True):
     t0 = time.time()
     n_done = 0
     for batch in data_loader:
-        dets, labels, valid = jitted(
-            params, jnp.asarray(batch['img']),
-            jnp.asarray(batch['img_shape']),
-            jnp.asarray(batch['scale_factor']))
-        dets = np.asarray(dets)
-        labels = np.asarray(labels)
-        valid = np.asarray(valid)
+        out = jitted(params, jnp.asarray(batch['img']),
+                     jnp.asarray(batch['img_shape']),
+                     jnp.asarray(batch['scale_factor']))
+        dets, labels, valid = (np.asarray(out[0]), np.asarray(out[1]),
+                               np.asarray(out[2]))
+        masks = np.asarray(out[3]) if len(out) > 3 else None
         for i in range(dets.shape[0]):
             d = np.where(valid[i][:, None], dets[i], -np.ones_like(dets[i]))
-            results.append(bbox2result(d, labels[i], num_classes))
+            bbox_res = bbox2result(d, labels[i], num_classes)
+            if masks is None:
+                results.append(bbox_res)
+            else:
+                from ..core.mask import paste_masks_np
+                meta = batch['img_metas'][i]
+                oh, ow = meta['ori_shape'][:2]
+                prob = 1.0 / (1.0 + np.exp(-masks[i]))
+                pasted = paste_masks_np(prob, d[:, :4], oh, ow)
+                keep = d[:, 4] > -1
+                segm = [[pasted[j] for j in
+                         np.where(keep & (labels[i] == c))[0]]
+                        for c in range(num_classes)]
+                results.append((bbox_res, segm))
         n_done += dets.shape[0]
         if show_progress:
             rate = n_done / max(time.time() - t0, 1e-6)

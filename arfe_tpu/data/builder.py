@@ -87,7 +87,7 @@ def _pad_image(img, shape):
 
 
 def collate_detection(samples, static_shapes=None, max_gt=100,
-                      test_mode=False):
+                      test_mode=False, mask_crop_size=112):
     """Stack pipeline outputs into a static-shape batch dict.
 
     Returns dict(img (B,H,W,3), img_shape (B,2), scale_factor (B,4),
@@ -134,6 +134,19 @@ def collate_detection(samples, static_shapes=None, max_gt=100,
         batch['gt_bboxes'] = gt_bboxes
         batch['gt_valid'] = gt_valid
         batch['gt_labels'] = gt_labels
+        if any('gt_masks' in s for s in samples):
+            crops = np.zeros((b, max_gt, mask_crop_size, mask_crop_size),
+                             np.float32)
+            for i, s in enumerate(samples):
+                gm = s.get('gt_masks')
+                if gm is None or len(gm) == 0:
+                    continue
+                boxes = s['gt_bboxes'][:max_gt]
+                n = len(boxes)
+                crops[i, :n] = gm[list(range(min(len(gm), n)))] \
+                    .to_fixed_crops(boxes[:min(len(gm), n)],
+                                    mask_crop_size)
+            batch['gt_mask_crops'] = crops
     return batch
 
 

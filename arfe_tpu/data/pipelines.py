@@ -111,7 +111,17 @@ class LoadAnnotations:
         if self.with_label:
             results['gt_labels'] = ann['labels'].copy()
         if self.with_mask:
-            results['gt_masks'] = ann.get('masks')
+            from ..core.mask import BitmapMasks, PolygonMasks
+            h = results['img_info']['height']
+            w = results['img_info']['width']
+            raw = ann.get('masks') or []
+            if raw and isinstance(raw[0], np.ndarray) and raw[0].ndim == 2:
+                gt_masks = BitmapMasks(raw, h, w)
+            else:
+                polys = [[np.asarray(p, np.float32) for p in (m or [])]
+                         for m in raw]
+                gt_masks = PolygonMasks(polys, h, w).to_bitmap()
+            results['gt_masks'] = gt_masks
             results.setdefault('mask_fields', []).append('gt_masks')
         return results
 
@@ -188,6 +198,9 @@ class Resize:
             bboxes[:, 0::2] = np.clip(bboxes[:, 0::2], 0, new_w)
             bboxes[:, 1::2] = np.clip(bboxes[:, 1::2], 0, new_h)
             results[key] = bboxes
+        for key in results.get('mask_fields', []):
+            if results.get(key) is not None:
+                results[key] = results[key].resize((new_h, new_w))
         return results
 
 
@@ -218,6 +231,10 @@ class RandomFlip:
                     bboxes[:, 1::4] = h - results[key][:, 3::4]
                     bboxes[:, 3::4] = h - results[key][:, 1::4]
                 results[key] = bboxes
+            for key in results.get('mask_fields', []):
+                if results.get(key) is not None:
+                    results[key] = results[key].flip(
+                        results['flip_direction'])
         return results
 
 

@@ -329,6 +329,32 @@ def adaptive_max_pool2d(x, output_size):
     return x
 
 
+def adaptive_avg_pool2d(x, output_size):
+    """NHWC adaptive average pool (torch semantics)."""
+    n, h, w, c = x.shape
+    oh, ow = _pair(output_size)
+    if h % oh == 0 and w % ow == 0:
+        return avg_pool2d(x, (h // oh, w // ow))
+
+    def pool_axis(arr, size, out, axis):
+        starts = (np.arange(out) * size) // out
+        ends = -(-(np.arange(out) + 1) * size // out)
+        kmax = int((ends - starts).max())
+        idx = starts[:, None] + np.arange(kmax)[None, :]
+        mask = (idx < ends[:, None]).astype(np.float32)
+        idx = np.minimum(idx, size - 1)
+        g = jnp.take(arr, jnp.asarray(idx.reshape(-1)), axis=axis)
+        new_shape = arr.shape[:axis] + (out, kmax) + arr.shape[axis + 1:]
+        g = g.reshape(new_shape)
+        m = jnp.asarray(mask).reshape(
+            (1,) * axis + (out, kmax) + (1,) * (arr.ndim - axis - 1))
+        return (g * m).sum(axis=axis + 1) / m.sum(axis=axis + 1)
+
+    x = pool_axis(x, h, oh, 1)
+    x = pool_axis(x, w, ow, 2)
+    return x
+
+
 def global_avg_pool(x, keepdims=False):
     return x.mean(axis=(1, 2), keepdims=keepdims)
 

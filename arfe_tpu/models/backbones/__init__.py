@@ -1,3 +1,4 @@
 from .resnet import ResNet, ResNetV1d
+from .resnext import ResNeXt
 
-__all__ = ['ResNet', 'ResNetV1d']
+__all__ = ['ResNet', 'ResNetV1d', 'ResNeXt']

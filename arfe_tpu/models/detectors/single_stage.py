@@ -55,9 +55,9 @@ class SingleStageDetector(Module):
             gt_bboxes: (B, G, 4) padded; gt_valid (B, G); gt_labels (B, G).
         """
         x = self.extract_feat(params, img)
-        cls_scores, bbox_preds = self.bbox_head(params['bbox_head'], x)
-        return self.bbox_head.loss(cls_scores, bbox_preds, gt_bboxes,
-                                   gt_valid, gt_labels, img_shapes, key)
+        outs = self.bbox_head(params['bbox_head'], x)
+        return self.bbox_head.loss(*outs, gt_bboxes, gt_valid, gt_labels,
+                                   img_shapes, key)
 
     def simple_test(self, params, img, img_shapes, scale_factors,
                     rescale=False):
@@ -72,9 +72,9 @@ class SingleStageDetector(Module):
             valid (B, max_per_img).
         """
         x = self.extract_feat(params, img)
-        cls_scores, bbox_preds = self.bbox_head(params['bbox_head'], x)
-        return self.bbox_head.get_bboxes(cls_scores, bbox_preds, img_shapes,
-                                         scale_factors, rescale=rescale)
+        outs = self.bbox_head(params['bbox_head'], x)
+        return self.bbox_head.get_bboxes(*outs, img_shapes, scale_factors,
+                                         rescale=rescale)
 
 
 @DETECTORS.register_module()

@@ -52,7 +52,7 @@ class TwoStageDetector(Module):
         return x
 
     def forward_train(self, params, img, img_shapes, gt_bboxes, gt_valid,
-                      gt_labels, key):
+                      gt_labels, key, gt_mask_crops=None):
         """Training losses (ref: two_stage.py:155-217)."""
         import jax.numpy as jnp
 
@@ -75,7 +75,8 @@ class TwoStageDetector(Module):
             raise ValueError('forward_train without RPN requires proposals')
         losses.update(self.roi_head.forward_train(
             params['roi_head'], x, props, prop_valid, gt_bboxes, gt_valid,
-            gt_labels, k_rcnn))
+            gt_labels, k_rcnn, gt_mask_crops=gt_mask_crops,
+            img_shapes=img_shapes))
         return losses
 
     def simple_test(self, params, img, img_shapes, scale_factors,
@@ -106,6 +107,26 @@ class MaskRCNN(TwoStageDetector):
 @DETECTORS.register_module()
 class FastRCNN(TwoStageDetector):
     """External-proposal variant (ref: mmdet/models/detectors/fast_rcnn.py)."""
+
+
+@DETECTORS.register_module()
+class CascadeRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/cascade_rcnn.py"""
+
+
+@DETECTORS.register_module()
+class HybridTaskCascade(CascadeRCNN):
+    """ref: mmdet/models/detectors/htc.py"""
+
+
+@DETECTORS.register_module()
+class GridRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/grid_rcnn.py (grid head pending)."""
+
+
+@DETECTORS.register_module()
+class MaskScoringRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/mask_scoring_rcnn.py (ms head pending)."""
 
 
 @DETECTORS.register_module()

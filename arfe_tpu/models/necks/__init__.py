@@ -1,4 +1,7 @@
 from .fpn import FPN
-from .wfpn import BFP, WFPNDualSpatial
+from .pafpn import HRFPN, PAFPN
+from .wfpn import (BFP, WFPN, WFPNAVG, WFPNChannel, WFPNChannelADD,
+                   WFPNDualSpatial, WFPNPool, WFPNPreTreat)
 
-__all__ = ['FPN', 'WFPNDualSpatial', 'BFP']
+__all__ = ['FPN', 'PAFPN', 'HRFPN', 'WFPNDualSpatial', 'WFPN', 'WFPNChannel',
+           'WFPNChannelADD', 'WFPNAVG', 'WFPNPool', 'WFPNPreTreat', 'BFP']

@@ -83,6 +83,326 @@ class WFPNDualSpatial(Module):
         return tuple(outs)
 
 
+def _minmax_norm(x, axes):
+    mn = x.min(axis=axes, keepdims=True)
+    mx = x.max(axis=axes, keepdims=True)
+    return (x - mn) / (mx - mn + 1e-7)
+
+
+@NECKS.register_module()
+class WFPN(Module):
+    """Base weighted-FPN ablation (ref: mmdet/models/necks/wfpn.py:10-125):
+    per level, the channel-0 row/col average outer product forms a spatial
+    prior; its min-max-normalized map is compared (cosine distance) with a
+    learned 1-channel map, gating the resized NonLocal-refined global
+    feature."""
+
+    def __init__(self, in_channels, num_levels, refine_level=2,
+                 conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = refine_level
+        self.reduce_convs = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.refine = NonLocal2D(in_channels, reduction=1, use_scale=False,
+                                 norm_cfg=norm_cfg)
+
+    def init(self, key):
+        keys = jax.random.split(key, self.num_levels + 1)
+        return {'reduce_convs': {str(i): m.init(keys[i])
+                                 for i, m in enumerate(self.reduce_convs)},
+                'refine': self.refine.init(keys[-1])}
+
+    def __call__(self, params, inputs):
+        assert len(inputs) == self.num_levels
+        bsf = self.refine(params['refine'],
+                          _gather_levels(inputs, self.refine_level))
+        outs = []
+        for i, x in enumerate(inputs):
+            basic = self.reduce_convs[i](params['reduce_convs'][str(i)], x)
+            # channel-0 row/col outer product (ref: wfpn.py:104-113)
+            row = x.mean(axis=2)[..., 0]          # (b, h)
+            col = x.mean(axis=1)[..., 0]          # (b, w)
+            tmp = row[:, :, None] * col[:, None, :]
+            avg_map = _minmax_norm(tmp, (1, 2))[..., None]
+            basic_reg = _minmax_norm(basic, (1, 2, 3))
+            distance = jnp.cos((avg_map - basic_reg) * (jnp.pi / 2))
+            att = jax.nn.relu(resize_nearest(bsf, x.shape[1:3]) * distance)
+            outs.append(x + att)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNChannel(Module):
+    """(ref: mmdet/models/necks/wfpn_channel.py): per-level channel
+    self-calibration before the gather, channel-softmax-weighted outer
+    product after."""
+
+    def __init__(self, in_channels, num_levels, refine_level=3,
+                 conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = min(refine_level, num_levels - 1)
+        mk = lambda cin, cout, k, p: ConvModule(
+            cin, cout, k, padding=p, norm_cfg=norm_cfg, act_cfg='relu',
+            weight_init='xavier')
+        self.reduce_convs = [mk(in_channels, 1, 3, 1)
+                             for _ in range(num_levels)]
+        self.self_bn_convs = [mk(in_channels, 1, 3, 1)
+                              for _ in range(num_levels)]
+        self.self_update_convs = [mk(in_channels, in_channels, 1, 0)
+                                  for _ in range(num_levels)]
+        self.final_convs = [mk(in_channels, in_channels, 3, 1)
+                            for _ in range(num_levels)]
+        self.refine = NonLocal2D(in_channels, reduction=1, use_scale=False,
+                                 norm_cfg=norm_cfg)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4 * self.num_levels + 1)
+        k = iter(keys)
+        p = {}
+        for name, mods in (('reduce_convs', self.reduce_convs),
+                           ('self_bn_convs', self.self_bn_convs),
+                           ('self_update_convs', self.self_update_convs),
+                           ('final_convs', self.final_convs)):
+            p[name] = {str(i): m.init(next(k)) for i, m in enumerate(mods)}
+        p['refine'] = self.refine.init(keys[-1])
+        return p
+
+    def __call__(self, params, inputs):
+        ins = []
+        for i, x in enumerate(inputs):
+            upd = self.self_update_convs[i](
+                params['self_update_convs'][str(i)], x)
+            pooled = (x * upd).mean(axis=(1, 2), keepdims=True)
+            gate = self.self_bn_convs[i](params['self_bn_convs'][str(i)],
+                                         x * pooled)
+            ins.append(self.final_convs[i](params['final_convs'][str(i)],
+                                           x + x * gate))
+        bsf = self.refine(params['refine'],
+                          _gather_levels(ins, self.refine_level))
+        outs = []
+        for i, x in enumerate(ins):
+            basic = self.reduce_convs[i](params['reduce_convs'][str(i)], x)
+            row = x.mean(axis=2)                          # (b, h, c)
+            col = x.mean(axis=1)                          # (b, w, c)
+            cha = jax.nn.softmax(x.mean(axis=(1, 2)), axis=-1)  # (b, c)
+            tmp = jnp.einsum('bhc,bwc,bc->bhw', row, col, cha)
+            avg_map = _minmax_norm(tmp, (1, 2))[..., None]
+            basic_reg = _minmax_norm(basic, (1, 2, 3))
+            distance = jnp.cos((avg_map - basic_reg) * (jnp.pi / 2))
+            att = resize_nearest(bsf, x.shape[1:3]) * distance
+            outs.append(x + att)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNChannelADD(Module):
+    """(ref: mmdet/models/necks/wfpn_channel_add.py): WFPN distance gating
+    followed by an SE-style per-level channel re-weighting."""
+
+    def __init__(self, in_channels, num_levels, refine_level=3,
+                 conv_cfg=None, norm_cfg=None):
+        from ...layers import Linear
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = min(refine_level, num_levels - 1)
+        self.reduce_convs = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.final_convs = [
+            ConvModule(in_channels, in_channels, 3, padding=1,
+                       norm_cfg=norm_cfg, act_cfg='relu',
+                       weight_init='xavier') for _ in range(num_levels)]
+        mid = in_channels // 16
+        self.fcs1 = [Linear(in_channels, mid) for _ in range(num_levels)]
+        self.fcs2 = [Linear(mid, in_channels) for _ in range(num_levels)]
+        self.fcs3 = [Linear(mid, 1) for _ in range(num_levels)]
+        self.refine = NonLocal2D(in_channels, reduction=1, use_scale=False,
+                                 norm_cfg=norm_cfg)
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 5 * self.num_levels + 1))
+        p = {}
+        for name, mods in (('reduce_convs', self.reduce_convs),
+                           ('final_convs', self.final_convs),
+                           ('fcs1', self.fcs1), ('fcs2', self.fcs2),
+                           ('fcs3', self.fcs3)):
+            p[name] = {str(i): m.init(next(keys))
+                       for i, m in enumerate(mods)}
+        p['refine'] = self.refine.init(next(keys))
+        return p
+
+    def __call__(self, params, inputs):
+        bsf = self.refine(params['refine'],
+                          _gather_levels(inputs, self.refine_level))
+        outs = []
+        for i, x in enumerate(inputs):
+            basic = self.reduce_convs[i](params['reduce_convs'][str(i)], x)
+            row = x.mean(axis=2)
+            col = x.mean(axis=1)
+            cha = jax.nn.softmax(x.mean(axis=(1, 2)), axis=-1)
+            tmp = jnp.einsum('bhc,bwc,bc->bhw', row, col, cha)
+            avg_map = _minmax_norm(tmp, (1, 2))[..., None]
+            basic_reg = _minmax_norm(basic, (1, 2, 3))
+            distance = jnp.cos((avg_map - basic_reg) * (jnp.pi / 2))
+            att = resize_nearest(bsf, x.shape[1:3]) * distance
+            out = self.final_convs[i](params['final_convs'][str(i)],
+                                      x + att)
+            c_out = out.mean(axis=(1, 2))
+            c1 = self.fcs1[i](params['fcs1'][str(i)], c_out)
+            c2 = self.fcs2[i](params['fcs2'][str(i)], c1)
+            c3 = self.fcs3[i](params['fcs3'][str(i)], c1)
+            outs.append(out + out * c2[:, None, None, :]
+                        * c3[:, None, None, :])
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNAVG(Module):
+    """(ref: mmdet/models/necks/wfpn_avg.py): channel-avg + channel-max
+    2-channel spatial map replaces the outer-product prior."""
+
+    def __init__(self, in_channels, num_levels, refine_level=3,
+                 conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = min(refine_level, num_levels - 1)
+        self.reduce_convs = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.reduce_convs2 = [
+            ConvModule(2, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.refine = NonLocal2D(in_channels, reduction=1, use_scale=False,
+                                 norm_cfg=norm_cfg)
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 2 * self.num_levels + 1))
+        p = {'reduce_convs': {str(i): m.init(next(keys))
+                              for i, m in enumerate(self.reduce_convs)},
+             'reduce_convs2': {str(i): m.init(next(keys))
+                               for i, m in enumerate(self.reduce_convs2)}}
+        p['refine'] = self.refine.init(next(keys))
+        return p
+
+    def __call__(self, params, inputs):
+        bsf = self.refine(params['refine'],
+                          _gather_levels(inputs, self.refine_level))
+        outs = []
+        for i, x in enumerate(inputs):
+            basic = self.reduce_convs[i](params['reduce_convs'][str(i)], x)
+            avg_ = x.mean(axis=-1, keepdims=True)
+            max_ = x.max(axis=-1, keepdims=True)
+            comb = jnp.concatenate([avg_, max_], axis=-1)
+            spa = self.reduce_convs2[i](params['reduce_convs2'][str(i)],
+                                        comb)
+            att = resize_nearest(bsf, x.shape[1:3]) * (basic + spa)
+            outs.append(x + att)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNPool(Module):
+    """(ref: mmdet/models/necks/wfpn_pool.py): PSP-style pyramid pooling of
+    the gathered feature replaces the NonLocal refine; dual tanh maps as in
+    WFPNDualSpatial."""
+
+    POOL_SIZES = ((1, 1), (2, 2), (3, 3), (6, 6))
+
+    def __init__(self, in_channels, num_levels, refine_level=2,
+                 conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = refine_level
+        mk = lambda cin, cout, k, p: ConvModule(
+            cin, cout, k, padding=p, norm_cfg=norm_cfg, act_cfg='relu',
+            weight_init='xavier')
+        self.sta_convs = [mk(in_channels, in_channels, 1, 0)
+                          for _ in range(4)]
+        self.end_convs = [mk(in_channels, in_channels // 4, 1, 0)
+                          for _ in range(4)]
+        self.reduce_convs1 = [mk(in_channels, 1, 3, 1)
+                              for _ in range(num_levels)]
+        self.reduce_convs2 = [mk(in_channels, 1, 3, 1)
+                              for _ in range(num_levels)]
+        self.refine = mk(in_channels * 2, in_channels, 3, 1)
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 8 + 2 * self.num_levels + 1))
+        p = {}
+        for name, mods in (('sta_convs', self.sta_convs),
+                           ('end_convs', self.end_convs),
+                           ('reduce_convs1', self.reduce_convs1),
+                           ('reduce_convs2', self.reduce_convs2)):
+            p[name] = {str(i): m.init(next(keys))
+                       for i, m in enumerate(mods)}
+        p['refine'] = self.refine.init(next(keys))
+        return p
+
+    def __call__(self, params, inputs):
+        from ...layers import adaptive_avg_pool2d
+        ori_fe = _gather_levels(inputs, self.refine_level)
+        pools = []
+        for i, size in enumerate(self.POOL_SIZES):
+            t = self.sta_convs[i](params['sta_convs'][str(i)], ori_fe)
+            t = adaptive_avg_pool2d(t, size)
+            t = self.end_convs[i](params['end_convs'][str(i)], t)
+            pools.append(resize_nearest(t, ori_fe.shape[1:3]))
+        cat = jnp.concatenate([ori_fe] + pools, axis=-1)
+        bsf = self.refine(params['refine'], cat)
+        outs = []
+        for i, x in enumerate(inputs):
+            basic = jnp.tanh(self.reduce_convs1[i](
+                params['reduce_convs1'][str(i)], x))
+            com = jnp.tanh(self.reduce_convs2[i](
+                params['reduce_convs2'][str(i)], x))
+            att = resize_nearest(bsf, x.shape[1:3]) * (basic + com)
+            outs.append(x + att)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNPreTreat(Module):
+    """(ref: mmdet/models/necks/wfpn_pretreat.py): SE-style per-level
+    channel recalibration only (no cross-level refine)."""
+
+    def __init__(self, in_channels, num_levels, conv_cfg=None,
+                 norm_cfg=None):
+        from ...layers import Linear
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        mid = in_channels // 16
+        self.fcs1 = [Linear(in_channels, mid) for _ in range(num_levels)]
+        self.fcs2 = [Linear(mid, in_channels) for _ in range(num_levels)]
+        self.fcs3 = [Linear(mid, 1) for _ in range(num_levels)]
+
+    def init(self, key):
+        keys = iter(jax.random.split(key, 3 * self.num_levels))
+        p = {}
+        for name, mods in (('fcs1', self.fcs1), ('fcs2', self.fcs2),
+                           ('fcs3', self.fcs3)):
+            p[name] = {str(i): m.init(next(keys))
+                       for i, m in enumerate(mods)}
+        return p
+
+    def __call__(self, params, inputs):
+        outs = []
+        for i, x in enumerate(inputs):
+            c_out = x.mean(axis=(1, 2))
+            c1 = self.fcs1[i](params['fcs1'][str(i)], c_out)
+            c2 = self.fcs2[i](params['fcs2'][str(i)], c1)
+            c3 = self.fcs3[i](params['fcs3'][str(i)], c1)
+            outs.append(x + x * c2[:, None, None, :]
+                        + c3[:, None, None, :])
+        return tuple(outs)
+
+
 @NECKS.register_module()
 class BFP(Module):
     """Balanced Feature Pyramid (Libra R-CNN)

@@ -2,10 +2,13 @@ from .bbox_heads import (BBoxHead, ConvFCBBoxHead, MultiBBoxHead,
                          MultiClassesBBoxHead, MultiRoIsBBoxHead,
                          Shared2FCBBoxHead, Shared2FCMultiClassesBBoxHead,
                          Shared4Conv1FCBBoxHead)
+from .cascade_roi_head import CascadeRoIHead, HybridTaskCascadeRoIHead
+from .mask_heads import FCNMaskHead
 from .roi_extractors import SingleRoIExtractor
-from .standard_roi_head import StandardRoIHead
+from .standard_roi_head import StandardRoIHead, StandardRoIHeadPrior
 
 __all__ = ['BBoxHead', 'ConvFCBBoxHead', 'Shared2FCBBoxHead',
            'Shared4Conv1FCBBoxHead', 'MultiBBoxHead', 'MultiRoIsBBoxHead',
            'MultiClassesBBoxHead', 'Shared2FCMultiClassesBBoxHead',
-           'SingleRoIExtractor', 'StandardRoIHead']
+           'SingleRoIExtractor', 'StandardRoIHead', 'StandardRoIHeadPrior',
+           'CascadeRoIHead', 'HybridTaskCascadeRoIHead', 'FCNMaskHead']

@@ -94,13 +94,15 @@ class StandardRoIHead(Module):
         return dict(
             boxes=sampled_boxes,
             gt_boxes=gt_bboxes[safe_gt],
+            gt_inds=safe_gt,
             labels=gt_labels[safe_gt].astype(jnp.int32),
             is_pos=sample['is_pos'],
             valid=sample['valid'],
         )
 
     def forward_train(self, params, feats, proposals, prop_valid, gt_bboxes,
-                      gt_valid, gt_labels, key):
+                      gt_valid, gt_labels, key, gt_mask_crops=None,
+                      img_shapes=None):
         """Batched RoI training step (ref: standard_roi_head.py:64-133,
         172-187).
 
@@ -150,12 +152,35 @@ class StandardRoIHead(Module):
             bbox_weights.reshape(-1, 4), **loss_kw)
         if self.with_mask:
             losses.update(self._mask_forward_train(
-                params, feats, rois, sampled, gt_valid))
+                params, feats, rois, sampled, gt_mask_crops))
         return losses
 
-    def _mask_forward_train(self, params, feats, rois, sampled, gt_valid):
-        """Mask branch training — attached when mask heads land."""
-        raise NotImplementedError
+    def _mask_forward_train(self, params, feats, rois, sampled,
+                            gt_mask_crops):
+        """Mask branch training (ref: standard_roi_head.py:189-223). Targets
+        come from fixed-size gt mask crops resampled per sampled RoI
+        (core/mask/mask_target.py) — static-shape equivalent of the
+        reference's per-roi CPU rasterization."""
+        from ...core.mask.mask_target import mask_target_from_crops
+
+        assert gt_mask_crops is not None, \
+            'mask training requires gt_mask_crops in the batch'
+        b, s = sampled['boxes'].shape[:2]
+        mask_feats = self.mask_roi_extractor(
+            {}, feats[:self.mask_roi_extractor.num_inputs], rois)
+        mask_pred = self.mask_head(params['mask_head'], mask_feats)
+        m = mask_pred.shape[1]
+
+        def tgt_one(crops, gt_inds, gt_boxes, boxes):
+            return mask_target_from_crops(crops[gt_inds], gt_boxes, boxes,
+                                          mask_size=m)
+
+        targets = jax.vmap(tgt_one)(gt_mask_crops, sampled['gt_inds'],
+                                    sampled['gt_boxes'], sampled['boxes'])
+        labels = sampled['labels'].reshape(b * s)
+        pos = (sampled['is_pos'] & sampled['valid']).reshape(b * s)
+        return self.mask_head.loss(mask_pred, targets.reshape(b * s, m, m),
+                                   labels, pos)
 
     # ------------------------------------------------------------------
     def _bbox_forward(self, params, feats, rois, num_imgs=1, **extract_kw):

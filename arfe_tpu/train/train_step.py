@@ -39,9 +39,12 @@ def make_train_step(model, optimizer, donate=True):
 
     def step(params, opt_state, batch, key):
         def loss_fn(p):
+            kwargs = {}
+            if 'gt_mask_crops' in batch:
+                kwargs['gt_mask_crops'] = batch['gt_mask_crops']
             losses = model.forward_train(
                 p, batch['img'], batch['img_shape'], batch['gt_bboxes'],
-                batch['gt_valid'], batch['gt_labels'], key)
+                batch['gt_valid'], batch['gt_labels'], key, **kwargs)
             return parse_losses(losses)
 
         (total, log_vars), grads = jax.value_and_grad(
