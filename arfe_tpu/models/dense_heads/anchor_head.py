@@ -148,6 +148,10 @@ class AnchorHead(Module):
             valid (B, max_per_img).
         """
         cfg = self.test_cfg if cfg is None else cfg
+        # force_fp32 boundary: detection math runs fp32 even under bf16
+        # compute (ref: @force_fp32 on get_bboxes, anchor_head.py:419)
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
         nms_pre = cfg.get('nms_pre', -1)
@@ -256,6 +260,9 @@ class AnchorHead(Module):
                 or None (RPN).
             img_shapes: (B, 2).
         """
+        # force_fp32 boundary (ref: @force_fp32 on loss, anchor_head.py:367)
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         b = cls_scores[0].shape[0]
         featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)

@@ -60,6 +60,8 @@ class RPNHead(AnchorHead):
             valid: (B, nms_post) bool.
         """
         cfg = self.test_cfg if cfg is None else cfg
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
         nms_pre = cfg.get('nms_pre', -1)

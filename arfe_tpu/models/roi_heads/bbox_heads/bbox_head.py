@@ -98,6 +98,12 @@ class BBoxHead(Module):
             img_shape: (2,) dynamic (h, w); scale_factor (4,).
             valid_mask: (P,) proposal validity.
         """
+        # force_fp32 boundary (ref: @force_fp32 on get_bboxes)
+        if cls_score is not None:
+            cls_score = cls_score.astype(jnp.float32)
+        if bbox_pred is not None:
+            bbox_pred = bbox_pred.astype(jnp.float32)
+        rois = rois.astype(jnp.float32)
         scores = jax.nn.softmax(cls_score, axis=-1) \
             if cls_score is not None else None
         if bbox_pred is not None:
@@ -140,6 +146,10 @@ class BBoxHead(Module):
     def loss(self, cls_score, bbox_pred, labels, label_weights, bbox_targets,
              bbox_weights, **extra):
         """(ref: bbox_head.py:159-204). All inputs flattened over batch."""
+        if cls_score is not None:
+            cls_score = cls_score.astype(jnp.float32)
+        if bbox_pred is not None:
+            bbox_pred = bbox_pred.astype(jnp.float32)
         losses = {}
         avg_factor = jnp.maximum(label_weights.sum(), 1.0)
         if cls_score is not None:

@@ -58,6 +58,18 @@ class SingleRoIExtractor(Module):
             target_lvls = jnp.clip(target_lvls + lvl, 0, num_levels - 1)
         if roi_scale_factor is not None:
             rois = self.roi_rescale(rois, roi_scale_factor)
+        # Pallas window-DMA kernel when supported (4.4x the XLA gather on
+        # v5e); level overrides fall back to the jnp path since the fused
+        # entry recomputes levels internally
+        from ....ops.pallas_roi_align import pallas_supported, \
+            roi_align_auto
+        if (lvl is None and replace_rois is None
+                and pallas_supported(self.out_size, self.sample_num,
+                                     num_levels)):
+            return roi_align_auto(
+                tuple(feats[:num_levels]), rois, self.out_size,
+                tuple(self.featmap_strides), self.finest_scale,
+                self.sample_num, self.aligned)
         return roi_align_pyramid(
             list(feats), rois, self.out_size, self.featmap_strides,
             self.finest_scale, self.sample_num, self.aligned,

@@ -43,7 +43,7 @@ def make_loop(model):
             dets, labels, valid = model.simple_test(
                 params, carry, img_shapes, scale_factors, rescale=True)
             # data-dependent carry defeats loop folding; numerically ~0
-            return carry + dets.mean() * 1e-20
+            return carry + (dets.mean() * 1e-20).astype(carry.dtype)
         # traced n_iters -> single compile serves all loop lengths
         out = jax.lax.fori_loop(0, n_iters, body, img)
         return out[0, 0, 0, 0]
@@ -53,8 +53,10 @@ def make_loop(model):
 
 def main():
     model, params = build()
+    # bf16 compute path: layers cast fp32 master params to the input dtype
+    # per-op; detection math is fp32 behind force_fp32 boundaries
     img = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, H, W, 3) * 0.2, jnp.float32)
+        np.random.RandomState(0).randn(BATCH, H, W, 3) * 0.2, jnp.bfloat16)
 
     n_small, n_big = 2, 12
     loop = make_loop(model)
