@@ -4,3 +4,6 @@ from .logger import get_root_logger
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'publish_model',
            'get_root_logger', 'collect_env']
+
+from .profiling import profile_time, trace  # noqa: E402,F401
+__all__ += ['profile_time', 'trace']
