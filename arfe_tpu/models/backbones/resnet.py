@@ -66,7 +66,8 @@ class Bottleneck(Module):
     expansion = 4
 
     def __init__(self, inplanes, planes, stride=1, dilation=1,
-                 downsample=False, style='pytorch', avg_down=False):
+                 downsample=False, style='pytorch', avg_down=False,
+                 dcn=None):
         if style == 'pytorch':
             conv1_stride, conv2_stride = 1, stride
         else:  # caffe
@@ -74,9 +75,19 @@ class Bottleneck(Module):
         self.conv1 = Conv2d(inplanes, planes, 1, stride=conv1_stride,
                             bias=False, weight_init='kaiming_fan_out')
         self.bn1 = BatchNorm(planes)
-        self.conv2 = Conv2d(planes, planes, 3, stride=conv2_stride,
-                            padding=dilation, dilation=dilation, bias=False,
-                            weight_init='kaiming_fan_out')
+        if dcn is not None:
+            # dcn-enabled stage (ref: resnet.py:350-706 dcn plugin hooks)
+            from ...ops.deform_conv import DeformConv2d
+            self.conv2 = DeformConv2d(
+                planes, planes, 3, stride=conv2_stride, padding=dilation,
+                dilation=dilation, bias=False,
+                deform_groups=dcn.get('deform_groups', 1),
+                modulated=dcn.get('type') == 'DCNv2'
+                or dcn.get('modulated', False))
+        else:
+            self.conv2 = Conv2d(planes, planes, 3, stride=conv2_stride,
+                                padding=dilation, dilation=dilation,
+                                bias=False, weight_init='kaiming_fan_out')
         self.bn2 = BatchNorm(planes)
         self.conv3 = Conv2d(planes, planes * self.expansion, 1, bias=False,
                             weight_init='kaiming_fan_out')
@@ -141,8 +152,8 @@ class ResNet(Module):
                  plugins=None, with_cp=False):
         if depth not in self.arch_settings:
             raise KeyError(f'invalid depth {depth} for resnet')
-        assert dcn is None and gcb is None and gen_attention is None and \
-            plugins is None, 'backbone plugins not yet supported'
+        assert gcb is None and gen_attention is None and plugins is None, \
+            'gcb/gen_attention/plugins backbone hooks land in round 2'
         block_cls, stage_blocks = self.arch_settings[depth]
         self.depth = depth
         self.num_stages = num_stages
@@ -175,6 +186,8 @@ class ResNet(Module):
         for i in range(num_stages):
             planes = base_channels * 2 ** i
             stride, dilation = strides[i], dilations[i]
+            stage_dcn = dcn if (dcn is not None
+                                and stage_with_dcn[i]) else None
             blocks = []
             for j in range(stage_blocks[i]):
                 s = stride if j == 0 else 1
@@ -182,7 +195,8 @@ class ResNet(Module):
                     s != 1 or inplanes != planes * block_cls.expansion)
                 blocks.append(block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,
-                                        style=style, avg_down=avg_down)
+                                        style=style, avg_down=avg_down,
+                                        dcn=stage_dcn)
                               if block_cls is Bottleneck else
                               block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,

@@ -2,5 +2,6 @@ from .anchor_head import AnchorHead
 from .fcos_head import FCOSHead
 from .retina_head import RetinaHead
 from .rpn_head import RPNHead
+from .ssd_head import SSDHead
 
-__all__ = ['AnchorHead', 'RetinaHead', 'RPNHead', 'FCOSHead']
+__all__ = ['AnchorHead', 'RetinaHead', 'RPNHead', 'FCOSHead', 'SSDHead']

@@ -368,6 +368,83 @@ class WFPNPool(Module):
 
 
 @NECKS.register_module()
+class WFPNDeform(Module):
+    """(ref: mmdet/models/necks/wfpn_deform.py): RepPoints-style learned
+    offsets drive a deformable-conv refine of the gathered feature; dual
+    tanh maps as in WFPNDualSpatial."""
+
+    def __init__(self, in_channels, num_levels, refine_level=2,
+                 num_points=9, gradient_mul=0.1, conv_cfg=None,
+                 norm_cfg=None):
+        import numpy as np
+        from ...layers import Conv2d
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = refine_level
+        self.num_points = num_points
+        self.gradient_mul = gradient_mul
+        self.reduce_convs = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.reduce_convs2 = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.pts_init_conv = Conv2d(in_channels, in_channels, 3, padding=1)
+        self.pts_init_out = Conv2d(in_channels, 2 * num_points, 1,
+                                   weight_init='normal', init_std=0.01)
+        k = int(np.sqrt(num_points))
+        base = np.stack(np.meshgrid(np.arange(k) - k // 2,
+                                    np.arange(k) - k // 2,
+                                    indexing='ij'), -1).reshape(-1, 2)
+        self.dcn_base_offset = base.astype(np.float32).reshape(1, 1, 1, -1)
+        self.k = k
+
+    def init(self, key):
+        import jax.numpy as jnp_
+        keys = jax.random.split(key, 2 * self.num_levels + 3)
+        import math
+        fan_in = self.k * self.k * self.in_channels
+        bound = math.sqrt(1.0 / fan_in)
+        return {
+            'reduce_convs': {str(i): m.init(keys[i])
+                             for i, m in enumerate(self.reduce_convs)},
+            'reduce_convs2': {
+                str(i): m.init(keys[self.num_levels + i])
+                for i, m in enumerate(self.reduce_convs2)},
+            'reppoints_pts_init_conv': self.pts_init_conv.init(keys[-3]),
+            'reppoints_pts_init_out': self.pts_init_out.init(keys[-2]),
+            'refine': {'weight': jax.random.uniform(
+                keys[-1], (self.k, self.k, self.in_channels,
+                           self.in_channels), jnp_.float32, -bound, bound)},
+        }
+
+    def __call__(self, params, inputs):
+        from ...ops.deform_conv import deform_conv2d
+        ori_fe = _gather_levels(inputs, self.refine_level)
+        pts = self.pts_init_out(
+            params['reppoints_pts_init_out'],
+            jax.nn.relu(self.pts_init_conv(
+                params['reppoints_pts_init_conv'], ori_fe)))
+        pts = ((1 - self.gradient_mul) * jax.lax.stop_gradient(pts)
+               + self.gradient_mul * pts)
+        dcn_offset = pts - jnp.asarray(self.dcn_base_offset)
+        bsf = jax.nn.relu(deform_conv2d(
+            ori_fe, dcn_offset, params['refine']['weight'], stride=1,
+            padding=self.k // 2))
+        outs = []
+        for i, x in enumerate(inputs):
+            basic = jnp.tanh(self.reduce_convs[i](
+                params['reduce_convs'][str(i)], x))
+            com = jnp.tanh(self.reduce_convs2[i](
+                params['reduce_convs2'][str(i)], x))
+            att = resize_nearest(bsf, x.shape[1:3]) * (basic + com)
+            outs.append(x + att)
+        return tuple(outs)
+
+
+@NECKS.register_module()
 class WFPNPreTreat(Module):
     """(ref: mmdet/models/necks/wfpn_pretreat.py): SE-style per-level
     channel recalibration only (no cross-level refine)."""

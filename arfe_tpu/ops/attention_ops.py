@@ -1,0 +1,235 @@
+"""Attention/context ops riding along with the native-op set.
+
+- ContextBlock (GCNet) — ref: mmdet/ops/context_block.py
+- GeneralizedAttention — ref: mmdet/ops/generalized_attention.py (384 LoC;
+  the core '1100' content-content mode implemented; positional modes are
+  round-2)
+- ConvWS2d (weight standardization) — ref: mmdet/ops/conv_ws.py
+- MaskedConv2d — ref: mmdet/ops/masked_conv (dense conv + mask multiply:
+  TPUs prefer dense compute over the reference's sparse CUDA kernel)
+- CARAFE — ref: mmdet/ops/carafe/ (content-aware upsampling as
+  unfold+einsum; XLA fuses it)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import Conv2d, ConvModule, Module
+
+
+class ContextBlock(Module):
+    """GCNet context block (ref: ops/context_block.py)."""
+
+    def __init__(self, in_channels, ratio, pooling_type='att',
+                 fusion_types=('channel_add',)):
+        assert pooling_type in ('avg', 'att')
+        self.in_channels = in_channels
+        self.planes = int(in_channels * ratio)
+        self.pooling_type = pooling_type
+        self.fusion_types = tuple(fusion_types)
+        if pooling_type == 'att':
+            self.conv_mask = Conv2d(in_channels, 1, 1,
+                                    weight_init='normal', init_std=0.01)
+        if 'channel_add' in self.fusion_types:
+            self.channel_add_conv = _ChannelConv(in_channels, self.planes)
+        if 'channel_mul' in self.fusion_types:
+            self.channel_mul_conv = _ChannelConv(in_channels, self.planes)
+
+    def init(self, key):
+        keys = jax.random.split(key, 3)
+        p = {}
+        if self.pooling_type == 'att':
+            p['conv_mask'] = self.conv_mask.init(keys[0])
+        if 'channel_add' in self.fusion_types:
+            p['channel_add_conv'] = self.channel_add_conv.init(keys[1])
+        if 'channel_mul' in self.fusion_types:
+            p['channel_mul_conv'] = self.channel_mul_conv.init(keys[2])
+        return p
+
+    def spatial_pool(self, params, x):
+        n, h, w, c = x.shape
+        if self.pooling_type == 'att':
+            mask = self.conv_mask(params['conv_mask'], x)      # (n,h,w,1)
+            mask = jax.nn.softmax(mask.reshape(n, h * w, 1), axis=1)
+            ctx = jnp.einsum('nkc,nko->noc', x.reshape(n, h * w, c), mask)
+            return ctx.reshape(n, 1, 1, c)
+        return x.mean(axis=(1, 2), keepdims=True)
+
+    def __call__(self, params, x):
+        ctx = self.spatial_pool(params, x)
+        out = x
+        if 'channel_mul' in self.fusion_types:
+            out = out * jax.nn.sigmoid(self.channel_mul_conv(
+                params['channel_mul_conv'], ctx))
+        if 'channel_add' in self.fusion_types:
+            out = out + self.channel_add_conv(params['channel_add_conv'],
+                                              ctx)
+        return out
+
+
+class _ChannelConv(Module):
+    """1x1 -> LN -> ReLU -> 1x1 bottleneck on pooled context."""
+
+    def __init__(self, channels, planes):
+        self.c1 = Conv2d(channels, planes, 1)
+        self.c2 = Conv2d(planes, channels, 1)
+        self.planes = planes
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {'0': self.c1.init(k1),
+                'ln': {'weight': jnp.ones((self.planes,)),
+                       'bias': jnp.zeros((self.planes,))},
+                '3': jax.tree_util.tree_map(jnp.zeros_like,
+                                            self.c2.init(k2))}
+
+    def __call__(self, params, x):
+        y = self.c1(params['0'], x)
+        mean = y.mean(axis=-1, keepdims=True)
+        var = ((y - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * params['ln']['weight'] + params['ln']['bias']
+        return self.c2(params['3'], jax.nn.relu(y))
+
+
+class GeneralizedAttention(Module):
+    """Content-content generalized attention ('1100' mode)
+    (ref: ops/generalized_attention.py)."""
+
+    def __init__(self, in_channels, spatial_range=-1, num_heads=9,
+                 position_embedding_dim=-1, position_magnitude=1,
+                 kv_stride=2, q_stride=1, attention_type='1100'):
+        self.in_channels = in_channels
+        self.num_heads = num_heads
+        self.kv_stride = kv_stride
+        self.qk_embed_dim = in_channels // num_heads
+        out_c = self.qk_embed_dim * num_heads
+        self.query_conv = Conv2d(in_channels, out_c, 1, bias=False,
+                                 weight_init='normal', init_std=0.01)
+        self.key_conv = Conv2d(in_channels, out_c, 1, bias=False,
+                               weight_init='normal', init_std=0.01)
+        self.v_dim = in_channels // num_heads
+        self.value_conv = Conv2d(in_channels, self.v_dim * num_heads, 1,
+                                 bias=False, weight_init='normal',
+                                 init_std=0.01)
+        self.proj_conv = Conv2d(self.v_dim * num_heads, in_channels, 1,
+                                weight_init='normal', init_std=0.01)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        p = {'query_conv': self.query_conv.init(keys[0]),
+             'key_conv': self.key_conv.init(keys[1]),
+             'value_conv': self.value_conv.init(keys[2]),
+             'proj_conv': self.proj_conv.init(keys[3]),
+             'gamma': jnp.zeros((1,))}
+        return p
+
+    def __call__(self, params, x):
+        n, h, w, c = x.shape
+        kv = x[:, ::self.kv_stride, ::self.kv_stride, :]
+        hk, wk = kv.shape[1:3]
+        nh, d = self.num_heads, self.qk_embed_dim
+        q = self.query_conv(params['query_conv'], x).reshape(
+            n, h * w, nh, d)
+        k = self.key_conv(params['key_conv'], kv).reshape(
+            n, hk * wk, nh, d)
+        v = self.value_conv(params['value_conv'], kv).reshape(
+            n, hk * wk, nh, self.v_dim)
+        logits = jnp.einsum('nqhd,nkhd->nhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(float(d))
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum('nhqk,nkhv->nqhv', attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(n, h, w, nh * self.v_dim).astype(x.dtype)
+        out = self.proj_conv(params['proj_conv'], out)
+        return x + params['gamma'] * out
+
+
+class ConvWS2d(Conv2d):
+    """Weight-standardized conv (ref: ops/conv_ws.py)."""
+
+    def __init__(self, *args, eps=1e-5, **kwargs):
+        self.eps = eps
+        super().__init__(*args, **kwargs)
+
+    def __call__(self, params, x):
+        w = params['weight']
+        mean = w.mean(axis=(0, 1, 2), keepdims=True)
+        std = w.std(axis=(0, 1, 2), keepdims=True) + self.eps
+        params = dict(params, weight=(w - mean) / std)
+        return super().__call__(params, x)
+
+
+class MaskedConv2d(Conv2d):
+    """Conv evaluated only at masked positions (ref: ops/masked_conv) —
+    dense conv + mask multiply, the TPU-preferred formulation."""
+
+    def __call__(self, params, x, mask=None):
+        out = super().__call__(params, x)
+        if mask is not None:
+            out = out * (mask > 0).astype(out.dtype)[..., None]
+        return out
+
+
+def carafe(features, masks, kernel_size=5, group_size=1, scale_factor=2):
+    """CARAFE content-aware reassembly (ref: ops/carafe/carafe.py semantics;
+    kernels normalized by the caller as in CARAFEPack.kernel_normalizer).
+
+    Args:
+        features: (n, h, w, c).
+        masks: (n, h*scale, w*scale, k*k) softmax-normalized kernels.
+    Returns:
+        (n, h*scale, w*scale, c)
+    """
+    n, h, w, c = features.shape
+    k = kernel_size
+    s = scale_factor
+    pad = (k - 1) // 2
+    padded = jnp.pad(features, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # unfold k*k neighborhoods at low resolution: (n, h, w, k*k, c)
+    patches = jnp.stack([
+        padded[:, dy:dy + h, dx:dx + w, :]
+        for dy in range(k) for dx in range(k)], axis=3)
+    # upsample patches to target resolution (nearest: each hi-res pixel
+    # reassembles its source low-res neighborhood)
+    patches = jnp.repeat(jnp.repeat(patches, s, axis=1), s, axis=2)
+    out = jnp.einsum('nhwkc,nhwk->nhwc', patches, masks,
+                     preferred_element_type=jnp.float32)
+    return out.astype(features.dtype)
+
+
+class CARAFEPack(Module):
+    """Learned upsampler (ref: ops/carafe/carafe.py:132-240)."""
+
+    def __init__(self, channels, scale_factor, up_kernel=5, up_group=1,
+                 encoder_kernel=3, encoder_dilation=1,
+                 compressed_channels=64):
+        self.channels = channels
+        self.scale_factor = scale_factor
+        self.up_kernel = up_kernel
+        self.channel_compressor = Conv2d(channels, compressed_channels, 1)
+        self.content_encoder = Conv2d(
+            compressed_channels,
+            up_kernel * up_kernel * scale_factor * scale_factor,
+            encoder_kernel, padding=int((encoder_kernel - 1) * encoder_dilation / 2),
+            dilation=encoder_dilation, weight_init='normal', init_std=0.001)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {'channel_compressor': self.channel_compressor.init(k1),
+                'content_encoder': self.content_encoder.init(k2)}
+
+    def __call__(self, params, x):
+        n, h, w, c = x.shape
+        s, k = self.scale_factor, self.up_kernel
+        comp = self.channel_compressor(params['channel_compressor'], x)
+        masks = self.content_encoder(params['content_encoder'], comp)
+        # pixel-shuffle to (n, h*s, w*s, k*k) then softmax normalize
+        # (ref kernel_normalizer, carafe.py:216)
+        masks = masks.reshape(n, h, w, s, s, k * k)
+        masks = masks.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h * s, w * s, k * k)
+        masks = jax.nn.softmax(masks, axis=-1)
+        return carafe(x, masks, k, 1, s)

@@ -98,3 +98,39 @@ def test_pafpn_hrfpn_resnext():
                 for i, c in enumerate([64, 128, 256, 512]))
     outs = neck(np_, ins)
     assert len(outs) == 5 and outs[0].shape == (1, 32, 32, 32)
+
+
+def test_ssd300():
+    cfg = dict(
+        type='SSD',
+        backbone=dict(type='SSDVGG', input_size=300, depth=16,
+                      out_indices=(3, 4)),
+        neck=None,
+        bbox_head=dict(type='SSDHead', num_classes=5,
+                       in_channels=(512, 1024, 512, 256, 256, 256)))
+    test_cfg = dict(nms_pre=200, min_bbox_size=0, score_thr=0.02,
+                    nms=dict(type='nms', iou_thr=0.45), max_per_img=20,
+                    nms_cap=400)
+    train_cfg = dict(
+        assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                      neg_iou_thr=0.5, min_pos_iou=0., ignore_iof_thr=-1,
+                      gt_max_assign_all=False),
+        allowed_border=-1, pos_weight=-1, neg_pos_ratio=3,
+        smoothl1_beta=1.0, debug=False)
+    m = build_detector(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 300, 300, 3) * 0.3,
+                      jnp.float32)
+    feats = m.extract_feat(p, img)
+    assert [f.shape[1:3] for f in feats] == \
+        [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    dets, labels, valid = m.simple_test(p, img, jnp.array([[300., 300.]]),
+                                        jnp.ones((1, 4)))
+    assert dets.shape == (1, 20, 5)
+    gt = jnp.asarray(np.array([[[30, 30, 120, 150], [200, 40, 280, 280]]]),
+                     jnp.float32)
+    losses = m.forward_train(p, img, jnp.array([[300., 300.]]), gt,
+                             jnp.array([[True, True]]),
+                             jnp.array([[1, 3]]), jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses['loss_cls']))
+    assert np.isfinite(float(losses['loss_bbox']))
