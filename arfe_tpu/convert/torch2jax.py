@@ -15,11 +15,20 @@ import numpy as np
 
 SKIP_SUFFIXES = ('num_batches_tracked',)
 
+# torch ConvTranspose2d weights are IOHW (not OIHW) and torch scatters with
+# an unflipped kernel while lax.conv_transpose correlates — so these need
+# transpose(2,3,0,1) + a spatial flip to produce the HWIO kernel our
+# ConvTranspose2d module consumes (verified vs torch in
+# tests/test_layers_vs_torch.py).
+TRANSPOSED_CONV_SUFFIXES = ('upsample.weight',)
+
 
 def tensor_to_array(name: str, tensor) -> np.ndarray:
     arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, 'detach')
                      else tensor)
-    if arr.ndim == 4 and name.endswith('weight'):
+    if arr.ndim == 4 and name.endswith(TRANSPOSED_CONV_SUFFIXES):
+        arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1]  # IOHW -> HWIO + flip
+    elif arr.ndim == 4 and name.endswith('weight'):
         arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
     return np.ascontiguousarray(arr.astype(np.float32))
 

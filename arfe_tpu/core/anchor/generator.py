@@ -116,7 +116,9 @@ class AnchorGenerator:
         assert self.num_levels == len(featmap_sizes)
         flags = []
         for i in range(self.num_levels):
-            sh, sw = self.strides[i]
+            # stride convention is (w, h), matching single_level_grid_anchors
+            # which multiplies shift_x by stride[0]
+            sw, sh = self.strides[i]
             feat_h, feat_w = featmap_sizes[i]
             h, w = pad_shape[0], pad_shape[1]
             valid_h = min(int(np.ceil(h / sh)), feat_h)
@@ -166,8 +168,7 @@ class SSDAnchorGenerator(AnchorGenerator):
                  input_size=300, scale_major=True):
         self.strides = [_pair(s) for s in strides]
         self.input_size = input_size
-        self.centers = [((s[0] - 1) / 2., (s[1] - 1) / 2.)
-                        for s in self.strides]
+        self.centers = [(s[0] / 2., s[1] / 2.) for s in self.strides]
         self.basesize_ratio_range = basesize_ratio_range
         min_ratio, max_ratio = basesize_ratio_range
         min_ratio, max_ratio = int(min_ratio * 100), int(max_ratio * 100)
@@ -212,17 +213,14 @@ class SSDAnchorGenerator(AnchorGenerator):
             base_anchors = self.gen_single_level_base_anchors(
                 base_size, self.scales_list[i], self.ratios_list[i],
                 self.centers[i])
-            # keep scale-1 anchor first, then the sqrt-scale, then ratios
-            # at scale 1 (ref: anchor_generator.py:379-387)
-            indices = list(range(len(self.ratios_list[i])))
-            indices.insert(1, len(indices))
-            ns = len(self.scales_list[i])
-            # base anchors are (num_ratio*num_scale, 4) ratio-major here
-            ba = base_anchors.reshape(len(self.ratios_list[i]), ns, 4)
-            ordered = [ba[0, 0], ba[0, 1]]
-            for r in range(1, len(self.ratios_list[i])):
-                ordered.append(ba[r, 0])
-            out.append(np.stack(ordered, axis=0))
+            # With scale_major=False rows are scale-major (scale outer,
+            # ratio inner): row s*R+r. Reference keeps [1:1@min, 1:1@sqrt,
+            # ratios@min] via index_select([0, R, 1..R-1])
+            # (ref: anchor_generator.py:372-385).
+            num_ratios = len(self.ratios_list[i])
+            indices = list(range(num_ratios))
+            indices.insert(1, num_ratios)
+            out.append(base_anchors[np.array(indices)])
         return out
 
 

@@ -62,15 +62,19 @@ class MaxIoUAssigner:
 
         max_overlaps = overlaps.max(axis=0)          # (N,)
         argmax_overlaps = overlaps.argmax(axis=0)    # (N,)
+        # For the negative test, padded/invalid gts must look like overlap 0
+        # (not -1): an image with zero valid gts has all-negative anchors in
+        # the reference, not all-ignore.
+        neg_overlaps = jnp.where(gt_valid[:, None], overlaps, 0.0).max(axis=0)
 
         # start as ignore (-1)
         assigned = jnp.full(bboxes.shape[:1], -1, jnp.int32)
         # negatives
         if isinstance(self.neg_iou_thr, (tuple, list)):
             lo, hi = self.neg_iou_thr
-            neg = (max_overlaps >= lo) & (max_overlaps < hi)
+            neg = (neg_overlaps >= lo) & (neg_overlaps < hi)
         else:
-            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+            neg = (neg_overlaps >= 0) & (neg_overlaps < self.neg_iou_thr)
         assigned = jnp.where(neg, 0, assigned)
         # positives
         pos = max_overlaps >= self.pos_iou_thr

@@ -59,11 +59,13 @@ class SingleRoIExtractor(Module):
         if roi_scale_factor is not None:
             rois = self.roi_rescale(rois, roi_scale_factor)
         # Pallas window-DMA kernel when supported (4.4x the XLA gather on
-        # v5e); level overrides fall back to the jnp path since the fused
-        # entry recomputes levels internally
+        # v5e); level overrides AND roi_scale_factor fall back to the jnp
+        # path since the fused entry recomputes levels internally from the
+        # (possibly rescaled) rois, while the reference assigns levels from
+        # the original boxes
         from ....ops.pallas_roi_align import pallas_supported, \
             roi_align_auto
-        if (lvl is None and replace_rois is None
+        if (lvl is None and replace_rois is None and roi_scale_factor is None
                 and pallas_supported(self.out_size, self.sample_num,
                                      num_levels)):
             return roi_align_auto(

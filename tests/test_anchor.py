@@ -45,3 +45,30 @@ def test_valid_flags():
     f = flags[0].reshape(4, 4)
     assert f[:3, :3].all()
     assert not f[3, :].any() and not f[:, 3].any()
+
+
+def test_ssd_base_anchors_match_reference():
+    """Golden values computed with the reference SSDAnchorGenerator
+    (mmdet/core/anchor/anchor_generator.py:285-400) for SSD300-COCO."""
+    from arfe_tpu.core.anchor import SSDAnchorGenerator
+    gen = SSDAnchorGenerator(
+        strides=[8, 16, 32, 64, 100, 300],
+        ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+        basesize_ratio_range=(0.15, 0.9), input_size=300, scale_major=False)
+    assert gen.num_base_anchors == [4, 6, 6, 6, 4, 4]
+    # level 0: min=21, max=45, center=(4,4); rows: [1:1@21,
+    # 1:1@21*sqrt(45/21), 1:2@21, 2:1@21]
+    s = np.sqrt(45. / 21.)
+    w1 = 21. * s
+    r2w, r2h = 21. * np.sqrt(2.), 21. / np.sqrt(2.)
+    expected0 = np.array([
+        [4 - 10.5, 4 - 10.5, 4 + 10.5, 4 + 10.5],
+        [4 - w1 / 2, 4 - w1 / 2, 4 + w1 / 2, 4 + w1 / 2],
+        [4 - r2w / 2, 4 - r2h / 2, 4 + r2w / 2, 4 + r2h / 2],
+        [4 - r2h / 2, 4 - r2w / 2, 4 + r2h / 2, 4 + r2w / 2],
+    ], np.float32)
+    np.testing.assert_allclose(gen.base_anchors[0], expected0, rtol=1e-6)
+    # level 1 center is stride/2 = 8 and has 6 anchors (ratios 2 and 3)
+    np.testing.assert_allclose(gen.base_anchors[1][0],
+                               [8 - 22.5, 8 - 22.5, 8 + 22.5, 8 + 22.5],
+                               rtol=1e-6)

@@ -99,3 +99,16 @@ def test_pseudo_sampler():
     out = s.sample(jax.random.PRNGKey(0), assigned)
     assert np.asarray(out['is_pos']).tolist() == [True, False, False, True]
     assert np.asarray(out['valid']).tolist() == [True, True, False, True]
+
+
+def test_max_iou_assigner_empty_gt_all_negative():
+    """Zero valid gts -> all anchors negative (reference behavior), not
+    all-ignore (ADVICE r1)."""
+    assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                              min_pos_iou=0.3, match_low_quality=True)
+    boxes = jnp.array([[0, 0, 10, 10], [5, 5, 20, 20]], jnp.float32)
+    gb = jnp.zeros((8, 4), jnp.float32)
+    gv = jnp.zeros((8,), bool)
+    gl = jnp.zeros((8,), jnp.int32)
+    res = assigner.assign(boxes, gb, gv, gl)
+    np.testing.assert_array_equal(np.asarray(res['assigned_gt_inds']), [0, 0])

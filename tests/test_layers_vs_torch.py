@@ -98,3 +98,27 @@ def test_bilinear_resize_matches_torch():
         x, size=(25, 35), mode='bilinear', align_corners=False).numpy()
     out = from_nhwc_out(resize_bilinear(to_nhwc(x), (25, 35)))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_conv_transpose_vs_torch():
+    """FCNMaskHead deconv: converted torch ConvTranspose2d weights must give
+    identical outputs (ADVICE r1: IOHW vs OIHW layout)."""
+    import torch
+    from arfe_tpu.convert.torch2jax import tensor_to_array
+    from arfe_tpu.models.roi_heads.mask_heads.fcn_mask_head import \
+        ConvTranspose2d
+
+    torch.manual_seed(0)
+    tmod = torch.nn.ConvTranspose2d(5, 7, kernel_size=2, stride=2)
+    x = torch.randn(2, 5, 6, 6)
+    with torch.no_grad():
+        ref = tmod(x).permute(0, 2, 3, 1).numpy()
+
+    jmod = ConvTranspose2d(5, 7, kernel_size=2, stride=2)
+    params = {
+        'weight': jnp.asarray(tensor_to_array('upsample.weight',
+                                              tmod.weight.detach())),
+        'bias': jnp.asarray(tmod.bias.detach().numpy()),
+    }
+    out = jmod(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
