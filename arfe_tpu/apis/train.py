@@ -21,6 +21,20 @@ def set_random_seed(seed, deterministic=True):
     np.random.seed(seed)
 
 
+def _run_validation(model, params, val_loader, val_dataset, eval_cfg, mesh):
+    """EvalHook equivalent: run inference on the val split and evaluate
+    (ref: core/evaluation/eval_hooks.py:7-75)."""
+    from .test import single_device_test
+    if getattr(model, 'test_cfg', None) is None:
+        return {'val_skipped': 'model built without test_cfg'}
+    results = single_device_test(model, params, val_loader,
+                                 show_progress=False)
+    metric = eval_cfg.get('metric', 'bbox')
+    kwargs = {k: v for k, v in eval_cfg.items()
+              if k not in ('interval', 'metric')}
+    return val_dataset.evaluate(results, metric=metric, **kwargs)
+
+
 def train_detector(model, dataset, cfg, validate=False, logger=None,
                    params=None, timestamp=None):
     """Run the full training loop from a config.
@@ -39,6 +53,16 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
 
     log = logger.info if logger else print
     data_cfg = cfg.todict()['data']
+    val_dataset = None
+    val_loader = None
+    eval_cfg = dict(cfg.todict().get('evaluation') or {})
+    if validate and data_cfg.get('val'):
+        from ..data import build_dataset
+        val_dataset = build_dataset(data_cfg['val'], dict(test_mode=True))
+        val_loader = build_dataloader(
+            val_dataset, samples_per_gpu=1,
+            workers_per_gpu=data_cfg.get('workers_per_gpu', 2),
+            num_gpus=1, shuffle=False, test_mode=True)
     loader = build_dataloader(
         dataset,
         samples_per_gpu=data_cfg.get('samples_per_gpu', 2),
@@ -92,6 +116,11 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
     history = []
     key = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
     global_it = start_epoch * iters_per_epoch
+    # FSAF gt->level online-selection histogram: the reference writes a
+    # running count to ./gt_assign.txt inside the loss (ref:
+    # dense_heads/fsaf_head.py:240-247); here the head returns it as an aux
+    # array and the loop accumulates + writes it.
+    gt_assign_counts = None
     for epoch in range(start_epoch, total_epochs):
         t_epoch = time.time()
         for it, batch in enumerate(loader):
@@ -104,13 +133,34 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
             params, opt_state, log_vars = step(params, opt_state, arrays,
                                                sub)
             global_it += 1
+            if 'gt_assign_hist' in log_vars:
+                hist = np.asarray(log_vars.pop('gt_assign_hist'))
+                gt_assign_counts = hist if gt_assign_counts is None \
+                    else gt_assign_counts + hist
             if (it + 1) % log_interval == 0:
-                scalars = {k: float(v) for k, v in log_vars.items()}
+                scalars = {k: float(v) for k, v in log_vars.items()
+                           if np.ndim(v) == 0}
                 scalars['lr'] = float(sched(global_it))
                 history.append(dict(epoch=epoch + 1, iter=it + 1, **scalars))
                 msg = ' '.join(f'{k}: {v:.4f}' for k, v in scalars.items())
                 log(f'Epoch [{epoch + 1}][{it + 1}/{iters_per_epoch}] {msg}')
+                if gt_assign_counts is not None:
+                    with open(os.path.join(work_dir, 'gt_assign.txt'),
+                              'w') as f:
+                        f.write(' '.join(str(int(c))
+                                         for c in gt_assign_counts) + '\n')
         log(f'Epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s')
+        if (val_loader is not None
+                and (epoch + 1) % eval_cfg.get('interval', 1) == 0):
+            # EvalHook equivalent (ref: core/evaluation/eval_hooks.py:7-75)
+            metrics = _run_validation(model, params, val_loader, val_dataset,
+                                      eval_cfg, mesh)
+            msg = ' '.join(f'{k}: {v:.4f}' if isinstance(v, float)
+                           else f'{k}: {v}' for k, v in metrics.items())
+            log(f'Epoch [{epoch + 1}] val: {msg}')
+            history.append(dict(epoch=epoch + 1, mode='val',
+                                **{k: v for k, v in metrics.items()
+                                   if isinstance(v, (int, float))}))
         if (epoch + 1) % ckpt_interval == 0:
             meta = dict(epoch=epoch + 1, iter=global_it,
                         CLASSES=getattr(dataset, 'CLASSES', None),

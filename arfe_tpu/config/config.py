@@ -103,12 +103,25 @@ def _load_with_bases(filename: str) -> tuple[dict, str]:
     return merged, '\n'.join(texts)
 
 
+def _strip_delete(obj):
+    """Drop leftover ``_delete_`` markers after all merging is done (they
+    only have meaning relative to a base; a marker in the root base file has
+    nothing to delete)."""
+    if isinstance(obj, dict):
+        return {k: _strip_delete(v) for k, v in obj.items()
+                if k != DELETE_KEY}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_strip_delete(v) for v in obj)
+    return obj
+
+
 class Config:
     """Config object wrapping a ConfigDict, loadable from python files."""
 
     @staticmethod
     def fromfile(filename: str) -> 'Config':
         cfg_dict, text = _load_with_bases(filename)
+        cfg_dict = _strip_delete(cfg_dict)
         return Config(cfg_dict, filename=filename, text=text)
 
     def __init__(self, cfg_dict=None, filename=None, text=None):

@@ -1,4 +1,5 @@
-from .assigners import MaxIoUAssigner
+from .assigners import (ATSSAssigner, CenterRegionAssigner,
+                        MaxIoUAssigner)
 from .coder import (DeltaXYWHBBoxCoder, PseudoBBoxCoder, TBLRBBoxCoder,
                     bbox2delta, delta2bbox)
 from .iou import bbox_overlaps
@@ -8,7 +9,8 @@ from .transforms import (bbox2result, bbox2roi, bbox_area, bbox_center_wh,
                          distance2bbox, roi2bbox_list)
 
 __all__ = [
-    'MaxIoUAssigner', 'RandomSampler', 'RandomSamplerPrior', 'PseudoSampler',
+    'MaxIoUAssigner', 'ATSSAssigner', 'CenterRegionAssigner',
+    'RandomSampler', 'RandomSamplerPrior', 'PseudoSampler',
     'DeltaXYWHBBoxCoder', 'PseudoBBoxCoder', 'TBLRBBoxCoder', 'bbox2delta',
     'delta2bbox', 'bbox_overlaps', 'bbox2roi', 'bbox2result', 'bbox_flip',
     'bbox_mapping', 'bbox_mapping_back', 'distance2bbox', 'roi2bbox_list',

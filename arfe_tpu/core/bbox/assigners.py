@@ -9,6 +9,7 @@ encoding: -1 = ignore, 0 = negative, k > 0 = matched to gt k-1.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...registry import BBOX_ASSIGNERS
@@ -110,3 +111,167 @@ class MaxIoUAssigner:
             labels = labels.astype(jnp.int32)
         return dict(assigned_gt_inds=assigned, max_overlaps=max_overlaps,
                     labels=labels)
+
+
+def scale_boxes(bboxes, scale):
+    """Expand boxes around their center (ref:
+    core/bbox/assigners/center_region_assigner.py:9-33)."""
+    cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+    cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+    wh = (bboxes[..., 2] - bboxes[..., 0]) * 0.5 * scale
+    hh = (bboxes[..., 3] - bboxes[..., 1]) * 0.5 * scale
+    return jnp.stack([cx - wh, cy - hh, cx + wh, cy + hh], axis=-1)
+
+
+@BBOX_ASSIGNERS.register_module()
+class CenterRegionAssigner:
+    """Assign pixels in the scaled center region of a gt as positive
+    (ref: core/bbox/assigners/center_region_assigner.py:71-322; used by FSAF).
+
+    Static-shape version: shadowed (anchor, gt) pairs are returned as a
+    dense (N, G) bool matrix instead of a dynamic index list.
+    """
+
+    def __init__(self, pos_scale, neg_scale, min_pos_iof=1e-2,
+                 ignore_gt_scale=0.5, iou_calculator=None):
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+        self.min_pos_iof = min_pos_iof
+        self.ignore_gt_scale = ignore_gt_scale
+
+    def assign(self, bboxes, gt_bboxes, gt_valid, gt_labels=None,
+               box_valid=None, gt_bboxes_ignore=None, gt_ignore_valid=None):
+        """Returns dict(assigned_gt_inds (N,), labels (N,),
+        shadowed_mat (N, G) bool)."""
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        gt_core = scale_boxes(gt_bboxes, self.pos_scale)
+        gt_shadow = scale_boxes(gt_bboxes, self.neg_scale)
+
+        centers = (bboxes[:, 2:4] + bboxes[:, 0:2]) * 0.5
+        in_gt = ((centers[:, 0:1] > gt_bboxes[None, :, 0])
+                 & (centers[:, 0:1] < gt_bboxes[None, :, 2])
+                 & (centers[:, 1:2] > gt_bboxes[None, :, 1])
+                 & (centers[:, 1:2] < gt_bboxes[None, :, 3]))
+        core_iof = bbox_overlaps(bboxes, gt_core, mode='iof')
+        in_core = in_gt & (core_iof > self.min_pos_iof) & gt_valid[None, :]
+        shadow_iof = bbox_overlaps(bboxes, gt_shadow, mode='iof')
+        in_shadow = (shadow_iof > self.min_pos_iof) & gt_valid[None, :] \
+            & (~in_core)
+
+        # gt priority: the reference uses argsort(areas, descending) values
+        # directly as priorities (ref :103-119); replicate exactly. Invalid
+        # gts get area -inf so they sort last.
+        areas = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) \
+            * (gt_bboxes[:, 3] - gt_bboxes[:, 1])
+        areas = jnp.where(gt_valid, areas, -jnp.inf)
+        priority = jnp.argsort(-areas).astype(jnp.int32)  # (G,)
+        pair_pri = jnp.where(in_core, priority[None, :], -1)
+        best_g = pair_pri.argmax(axis=1).astype(jnp.int32)
+        matched = in_core.any(axis=1)
+        assigned = jnp.where(matched, best_g + 1, 0)
+
+        # core matches not chosen become shadowed too (ref :310-317)
+        chosen = jnp.zeros((n, g), bool).at[jnp.arange(n), best_g].set(
+            matched)
+        shadowed = in_shadow | (in_core & ~chosen)
+
+        if gt_bboxes_ignore is not None and self.ignore_gt_scale is not None:
+            ig = scale_boxes(gt_bboxes_ignore, self.ignore_gt_scale)
+            in_ig = ((centers[:, 0:1] > ig[None, :, 0])
+                     & (centers[:, 0:1] < ig[None, :, 2])
+                     & (centers[:, 1:2] > ig[None, :, 1])
+                     & (centers[:, 1:2] < ig[None, :, 3]))
+            if gt_ignore_valid is not None:
+                in_ig = in_ig & gt_ignore_valid[None, :]
+            assigned = jnp.where(in_ig.any(axis=1), -1, assigned)
+
+        labels = None
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, g - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe],
+                               -1).astype(jnp.int32)
+            # NOTE: the reference's "positive and shadowed with the same
+            # class -> shadow wins" override (ref :234-238) is applied by
+            # FSAFHead from shadowed_mat, where the class count is known.
+        if box_valid is not None:
+            assigned = jnp.where(box_valid, assigned, -1)
+            shadowed = shadowed & box_valid[:, None]
+        return dict(assigned_gt_inds=assigned.astype(jnp.int32),
+                    labels=labels, shadowed_mat=shadowed)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ATSSAssigner:
+    """Adaptive Training Sample Selection
+    (ref: core/bbox/assigners/atss_assigner.py:10-167).
+
+    Per gt: top-k closest anchor centers per level are candidates; the IoU
+    threshold is mean+std of candidate IoUs; positives must also have their
+    anchor center inside the gt. Conflicts resolve to the highest IoU.
+    """
+    INF = 1e8
+
+    def __init__(self, topk, iou_calculator=None):
+        self.topk = topk
+
+    def assign(self, bboxes, num_level_bboxes, gt_bboxes, gt_valid,
+               gt_labels=None, box_valid=None):
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        overlaps = bbox_overlaps(bboxes, gt_bboxes)  # (N, G)
+
+        gt_c = (gt_bboxes[:, :2] + gt_bboxes[:, 2:4]) * 0.5  # (G, 2)
+        bc = (bboxes[:, :2] + bboxes[:, 2:4]) * 0.5          # (N, 2)
+        distances = jnp.sqrt(
+            ((bc[:, None, :] - gt_c[None, :, :]) ** 2).sum(-1))
+        if box_valid is not None:
+            distances = jnp.where(box_valid[:, None], distances, self.INF)
+
+        # top-k closest candidates per level (static level slices)
+        cand_rows = []
+        start = 0
+        for nl in num_level_bboxes:
+            d = distances[start:start + nl]                  # (nl, G)
+            k = min(self.topk, nl)
+            _, idx = jax.lax.top_k(-d.T, k)                  # (G, k)
+            cand_rows.append(idx.T + start)                  # (k, G)
+            start += nl
+        cand = jnp.concatenate(cand_rows, axis=0)            # (K, G)
+
+        cand_ious = jnp.take_along_axis(overlaps, cand, axis=0)  # (K, G)
+        mean = cand_ious.mean(axis=0)
+        # torch.std default is Bessel-corrected (unbiased)
+        kk = cand_ious.shape[0]
+        std = jnp.sqrt(((cand_ious - mean) ** 2).sum(0) / max(kk - 1, 1))
+        thr = mean + std                                     # (G,)
+        is_pos = cand_ious >= thr[None, :]
+
+        # candidate centers must lie inside the gt (ref :136-143)
+        cx = bc[:, 0][cand]                                  # (K, G)
+        cy = bc[:, 1][cand]
+        l_ = cx - gt_bboxes[None, :, 0]
+        t_ = cy - gt_bboxes[None, :, 1]
+        r_ = gt_bboxes[None, :, 2] - cx
+        b_ = gt_bboxes[None, :, 3] - cy
+        inside = jnp.minimum(jnp.minimum(l_, t_), jnp.minimum(r_, b_)) > 0.01
+        is_pos = is_pos & inside & gt_valid[None, :]
+        if box_valid is not None:
+            is_pos = is_pos & box_valid[cand]
+
+        # scatter candidate positivity back to the dense (N, G) grid, then
+        # resolve multi-gt anchors by max IoU (ref :145-155)
+        pos_mat = jnp.zeros((n, g), bool).at[
+            cand, jnp.arange(g)[None, :]].max(is_pos)
+        ovl = jnp.where(pos_mat, overlaps, -self.INF)
+        max_o = ovl.max(axis=1)
+        arg_g = ovl.argmax(axis=1).astype(jnp.int32)
+        assigned = jnp.where(max_o > -self.INF, arg_g + 1, 0)
+
+        labels = None
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, g - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe],
+                               -1).astype(jnp.int32)
+        return dict(assigned_gt_inds=assigned.astype(jnp.int32),
+                    max_overlaps=max_o, labels=labels)

@@ -67,7 +67,7 @@ class SingleRoIExtractor(Module):
             roi_align_auto
         if (lvl is None and replace_rois is None and roi_scale_factor is None
                 and pallas_supported(self.out_size, self.sample_num,
-                                     num_levels)):
+                                     num_levels, self.out_channels)):
             return roi_align_auto(
                 tuple(feats[:num_levels]), rois, self.out_size,
                 tuple(self.featmap_strides), self.finest_scale,

@@ -55,8 +55,11 @@ class StandardRoIHead(Module):
         if train_cfg is not None:
             self.assigner = build_from_cfg(train_cfg['assigner'],
                                            BBOX_ASSIGNERS)
-            self.sampler = build_from_cfg(train_cfg['sampler'],
-                                          BBOX_SAMPLERS)
+            # some research configs (faster_fsaf) omit the sampler; fall
+            # back to taking assignments as-is
+            self.sampler = build_from_cfg(
+                train_cfg.get('sampler', dict(type='PseudoSampler')),
+                BBOX_SAMPLERS)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)

@@ -219,9 +219,10 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
     return out
 
 
-def pallas_supported(out_size, sample_num, num_levels):
+def pallas_supported(out_size, sample_num, num_levels, channels=None):
     """Whether the kernel covers this configuration (7x7-ish outputs on a
-    4-level FPN, running on a real TPU backend)."""
+    4-level FPN, running on a real TPU backend). The window DMA slices the
+    minor (channel) dim, so C must be lane-aligned (multiple of 128)."""
     if isinstance(out_size, int):
         out_size = (out_size, out_size)
     sn = sample_num if sample_num > 0 else 2
@@ -230,6 +231,8 @@ def pallas_supported(out_size, sample_num, num_levels):
         on_tpu = _jax.default_backend() == 'tpu'
     except Exception:
         on_tpu = False
+    if channels is not None and channels % 128 != 0:
+        return False
     return (on_tpu and num_levels == 4
             and out_size[0] * sn <= 16 and out_size[1] * sn <= 16)
 
