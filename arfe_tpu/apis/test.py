@@ -21,15 +21,42 @@ def single_device_test(model, params, data_loader, show_progress=True):
 
     jitted = jax.jit(lambda p, img, shapes, sf: model.simple_test(
         p, img, shapes, sf, rescale=True))
+
+    def run_aug(p, batch):
+        """TTA batch: drive model.aug_test with per-aug arrays. Flip flags
+        are static per aug (stable MultiScaleFlipAug order), so the jit
+        caches one program per aug configuration."""
+        augs = batch['augs']
+        flips = tuple(bool(a['img_metas'][0].get('flip', False))
+                      for a in augs)
+        shapes = tuple(a['img'].shape for a in augs)
+
+        key = (flips, shapes)
+        if key not in _aug_cache:
+            def fn(p, imgs, shps, sfs):
+                return model.aug_test(p, list(imgs), list(shps), list(sfs),
+                                      list(flips), rescale=True)
+            _aug_cache[key] = jax.jit(fn)
+        return _aug_cache[key](
+            p, tuple(jnp.asarray(a['img']) for a in augs),
+            tuple(jnp.asarray(a['img_shape']) for a in augs),
+            tuple(jnp.asarray(a['scale_factor']) for a in augs))
+
+    _aug_cache = {}
     num_classes = (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
                    else model.roi_head.bbox_head.num_classes)
     results = []
     t0 = time.time()
     n_done = 0
     for batch in data_loader:
-        out = jitted(params, jnp.asarray(batch['img']),
-                     jnp.asarray(batch['img_shape']),
-                     jnp.asarray(batch['scale_factor']))
+        aug_mode = 'augs' in batch
+        if aug_mode:
+            out = run_aug(params, batch)
+            batch = dict(batch['augs'][0], img_metas=batch['img_metas'])
+        else:
+            out = jitted(params, jnp.asarray(batch['img']),
+                         jnp.asarray(batch['img_shape']),
+                         jnp.asarray(batch['scale_factor']))
         dets, labels, valid = (np.asarray(out[0]), np.asarray(out[1]),
                                np.asarray(out[2]))
         masks = np.asarray(out[3]) if len(out) > 3 else None
@@ -42,7 +69,10 @@ def single_device_test(model, params, data_loader, show_progress=True):
                 from ..core.mask import paste_masks_np
                 meta = batch['img_metas'][i]
                 oh, ow = meta['ori_shape'][:2]
-                prob = 1.0 / (1.0 + np.exp(-masks[i]))
+                # aug_test already averages probabilities; simple_test
+                # returns logits
+                prob = masks[i] if aug_mode else \
+                    1.0 / (1.0 + np.exp(-masks[i]))
                 pasted = paste_masks_np(prob, d[:, :4], oh, ow)
                 keep = d[:, 4] > -1
                 segm = [[pasted[j] for j in

@@ -93,6 +93,22 @@ def collate_detection(samples, static_shapes=None, max_gt=100,
     Returns dict(img (B,H,W,3), img_shape (B,2), scale_factor (B,4),
     gt_bboxes (B,G,4), gt_valid (B,G), gt_labels (B,G), img_metas list).
     """
+    # MultiScaleFlipAug emits dict-of-lists; with >1 aug, collate each aug
+    # position into its own batch and return them under 'augs' (the TTA
+    # driver feeds them to model.aug_test)
+    n_augs = 1
+    if samples and isinstance(samples[0].get('img'), list):
+        n_augs = len(samples[0]['img'])
+    if n_augs > 1:
+        aug_batches = []
+        for a in range(n_augs):
+            aug_samples = [{k: (v[a] if isinstance(v, list) else v)
+                            for k, v in s.items()} for s in samples]
+            aug_batches.append(collate_detection(
+                aug_samples, static_shapes, max_gt, test_mode,
+                mask_crop_size))
+        return {'augs': aug_batches,
+                'img_metas': aug_batches[0]['img_metas']}
     # unwrap single-aug MultiScaleFlipAug outputs (lists of length 1)
     samples = [
         {k: (v[0] if isinstance(v, list) and len(v) == 1 else v)

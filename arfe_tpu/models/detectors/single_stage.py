@@ -76,6 +76,47 @@ class SingleStageDetector(Module):
         return self.bbox_head.get_bboxes(*outs, img_shapes, scale_factors,
                                          rescale=rescale)
 
+    def aug_test(self, params, aug_imgs, aug_img_shapes, aug_scale_factors,
+                 aug_flips, rescale=True):
+        """Single-stage TTA. The reference leaves this NotImplemented
+        (ref: single_stage.py:104); this follows the det-level merge later
+        mmdet versions adopted: per-aug detections mapped back to the
+        original frame, concatenated, and re-NMSed per class."""
+        from ...core.bbox.transforms import bbox_mapping_back
+        from ...ops.nms import batched_nms
+
+        import jax.numpy as jnp
+
+        all_dets, all_labels, all_valid = [], [], []
+        for img, shapes, sfs, flip in zip(aug_imgs, aug_img_shapes,
+                                          aug_scale_factors, aug_flips):
+            x = self.extract_feat(params, img)
+            outs = self.bbox_head(params['bbox_head'], x)
+            dets, labels, valid = self.bbox_head.get_bboxes(
+                *outs, shapes, sfs, rescale=False)
+            boxes = jax.vmap(
+                lambda bx, sh, sf: bbox_mapping_back(bx, sh, sf, flip))(
+                dets[..., :4], shapes, sfs)
+            all_dets.append(jnp.concatenate([boxes, dets[..., 4:5]], -1))
+            all_labels.append(labels)
+            all_valid.append(valid)
+        dets = jnp.concatenate(all_dets, axis=1)
+        labels = jnp.concatenate(all_labels, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
+        cfg = self.test_cfg
+        max_per_img = cfg['max_per_img']
+
+        def _one(d, l, v):
+            out, idx, ov = batched_nms(d[:, :4], d[:, 4], l, cfg['nms'],
+                                       max_out=max_per_img, valid_mask=v)
+            return out, l[idx], ov
+
+        dets, labels, valid = jax.vmap(_one)(dets, labels, valid)
+        if not rescale:
+            dets = dets.at[..., :4].multiply(
+                aug_scale_factors[0][:, None, :4])
+        return dets, labels, valid
+
 
 @DETECTORS.register_module()
 class RetinaNet(SingleStageDetector):

@@ -93,6 +93,34 @@ class TwoStageDetector(Module):
                                          prop_valid, img_shapes,
                                          scale_factors, rescale=rescale)
 
+    def aug_test(self, params, aug_imgs, aug_img_shapes, aug_scale_factors,
+                 aug_flips, rescale=True):
+        """Test-time augmentation (ref: two_stage.py:332-342 +
+        detectors/test_mixins.py:32-56 aug_test_rpn).
+
+        Args:
+            aug_imgs: list per aug of (B, H_a, W_a, 3) (static shapes may
+                differ per aug).
+            aug_img_shapes / aug_scale_factors: lists of (B, 2) / (B, 4).
+            aug_flips: list of static bools (MultiScaleFlipAug aug order).
+        """
+        from ...core.post.merge_augs import merge_aug_proposals
+
+        feats = [self.extract_feat(params, img) for img in aug_imgs]
+        aug_props, aug_valid = [], []
+        for x, shapes in zip(feats, aug_img_shapes):
+            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+            props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
+                                                    shapes)
+            aug_props.append(props)
+            aug_valid.append(valid)
+        merged, mvalid = merge_aug_proposals(
+            aug_props, aug_valid, aug_img_shapes, aug_scale_factors,
+            aug_flips, self.test_cfg['rpn'])
+        return self.roi_head.aug_test(
+            params['roi_head'], feats, merged, mvalid, aug_img_shapes,
+            aug_scale_factors, aug_flips, rescale=rescale)
+
 
 @DETECTORS.register_module()
 class FasterRCNN(TwoStageDetector):

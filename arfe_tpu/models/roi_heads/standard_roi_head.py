@@ -263,6 +263,83 @@ class StandardRoIHead(Module):
                                       rescale=rescale)
         return dets, labels, valid, masks
 
+    def aug_test(self, params, aug_feats, merged_props, merged_valid,
+                 aug_img_shapes, aug_scale_factors, aug_flips, rescale=True):
+        """TTA bbox (+mask) path (ref: standard_roi_head.py:287-313,
+        test_mixins.py:73-104 aug_test_bboxes / :175-207 aug_test_mask).
+
+        The merged proposals live in the ORIGINAL image frame; per aug they
+        are mapped into that aug's frame, scored, decoded, mapped back, then
+        boxes/scores are averaged over augs before one final NMS.
+        """
+        from ...core.bbox.transforms import bbox_mapping
+        from ...core.post.bbox_nms import multiclass_nms
+        from ...core.post.merge_augs import merge_aug_bboxes, merge_aug_masks
+
+        cfg = self.test_cfg
+        b, p, _ = merged_props.shape
+        batch_inds = jnp.broadcast_to(
+            jnp.arange(b, dtype=merged_props.dtype)[:, None], (b, p))
+        aug_bboxes, aug_scores = [], []
+        for x, shapes, sfs, flip in zip(aug_feats, aug_img_shapes,
+                                        aug_scale_factors, aug_flips):
+            props_aug = jax.vmap(
+                lambda bx, sh, sf: bbox_mapping(bx, sh, sf, flip))(
+                merged_props[..., :4], shapes, sfs)
+            rois = jnp.concatenate(
+                [batch_inds[..., None], props_aug], -1).reshape(b * p, 5)
+            out = self._bbox_forward(params, x, rois, num_imgs=b)
+            cls_score = out[0].astype(jnp.float32).reshape(b, p, -1)
+            bbox_pred = out[1].astype(jnp.float32).reshape(b, p, -1)
+            scores = jax.nn.softmax(cls_score, axis=-1)
+            boxes = jax.vmap(
+                lambda r, bp, sh: self.bbox_head.bbox_coder.decode(
+                    r, bp, max_shape=sh))(props_aug, bbox_pred, shapes)
+            aug_bboxes.append(boxes)
+            aug_scores.append(scores)
+        boxes, scores = merge_aug_bboxes(aug_bboxes, aug_scores,
+                                         aug_img_shapes, aug_scale_factors,
+                                         aug_flips)
+
+        def _one(bb, ss, vm):
+            return multiclass_nms(bb, ss, cfg['score_thr'], cfg['nms'],
+                                  cfg['max_per_img'],
+                                  pre_nms_cap=cfg.get('nms_cap', 2000),
+                                  valid_mask=vm)
+
+        dets, labels, valid = jax.vmap(_one)(boxes, scores, merged_valid)
+        if not rescale:
+            dets = dets.at[..., :4].multiply(
+                aug_scale_factors[0][:, None, :4])
+        if not self.with_mask:
+            return dets, labels, valid
+
+        # masks: dets are original-frame; per aug map in, predict, sigmoid,
+        # un-flip, average probabilities (ref: merge_aug_masks)
+        n = dets.shape[1]
+        det_boxes = dets[..., :4] if rescale else \
+            dets[..., :4] / aug_scale_factors[0][:, None, :4]
+        binds = jnp.broadcast_to(
+            jnp.arange(b, dtype=det_boxes.dtype)[:, None], (b, n))
+        aug_masks = []
+        for x, shapes, sfs, flip in zip(aug_feats, aug_img_shapes,
+                                        aug_scale_factors, aug_flips):
+            boxes_aug = jax.vmap(
+                lambda bx, sh, sf: bbox_mapping(bx, sh, sf, flip))(
+                det_boxes, shapes, sfs)
+            rois = jnp.concatenate(
+                [binds[..., None], boxes_aug], -1).reshape(b * n, 5)
+            mask_feats = self.mask_roi_extractor(
+                {}, x[:self.mask_roi_extractor.num_inputs], rois)
+            mask_pred = self.mask_head(params['mask_head'], mask_feats)
+            mh, mw = mask_pred.shape[1:3]
+            mask_pred = mask_pred.reshape(b, n, mh, mw, -1)
+            cls_mask = jnp.take_along_axis(
+                mask_pred, labels[:, :, None, None, None], axis=-1)[..., 0]
+            aug_masks.append(jax.nn.sigmoid(cls_mask.astype(jnp.float32)))
+        masks = merge_aug_masks(aug_masks, aug_flips)
+        return dets, labels, valid, masks
+
     def simple_test_mask(self, params, feats, dets, labels, valid,
                          img_shapes, scale_factors, rescale=False):
         """Mask branch on final detections (ref: test_mixins.py:110-146).
