@@ -1,9 +1,12 @@
-from .bbox_heads import (BBoxHead, ConvFCBBoxHead, MultiBBoxHead,
+from .bbox_heads import (BBoxHead, ConvFCBBoxHead, DoubleConvFCBBoxHead,
+                         MultiBBoxHead,
                          MultiClassesBBoxHead, MultiRoIsBBoxHead,
                          Shared2FCBBoxHead, Shared2FCMultiClassesBBoxHead,
                          Shared4Conv1FCBBoxHead)
 from .cascade_roi_head import CascadeRoIHead, HybridTaskCascadeRoIHead
-from .mask_heads import FCNMaskHead
+from .double_roi_head import DoubleHeadRoIHead
+from .mask_heads import FCNMaskHead, MaskIoUHead
+from .mask_scoring_roi_head import MaskScoringRoIHead
 from .roi_extractors import SingleRoIExtractor
 from .standard_roi_head import StandardRoIHead, StandardRoIHeadPrior
 
@@ -11,4 +14,6 @@ __all__ = ['BBoxHead', 'ConvFCBBoxHead', 'Shared2FCBBoxHead',
            'Shared4Conv1FCBBoxHead', 'MultiBBoxHead', 'MultiRoIsBBoxHead',
            'MultiClassesBBoxHead', 'Shared2FCMultiClassesBBoxHead',
            'SingleRoIExtractor', 'StandardRoIHead', 'StandardRoIHeadPrior',
-           'CascadeRoIHead', 'HybridTaskCascadeRoIHead', 'FCNMaskHead']
+           'CascadeRoIHead', 'HybridTaskCascadeRoIHead', 'FCNMaskHead',
+           'DoubleHeadRoIHead', 'DoubleConvFCBBoxHead', 'MaskIoUHead',
+           'MaskScoringRoIHead']

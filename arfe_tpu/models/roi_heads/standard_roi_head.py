@@ -74,13 +74,10 @@ class StandardRoIHead(Module):
     # training (ref: standard_roi_head.py:64-223)
     # ------------------------------------------------------------------
 
-    def _assign_sample_single(self, key, proposals, prop_valid, gt_bboxes,
-                              gt_valid, gt_labels):
-        """Per-image assign + sample (ref: standard_roi_head.py:104-114).
-
-        Returns dict with sampled boxes / matched gts / labels / masks,
-        all fixed size S = sampler.num.
-        """
+    def _assign_single(self, proposals, prop_valid, gt_bboxes, gt_valid,
+                       gt_labels):
+        """Per-image assignment over the candidate set (gt-prepended when
+        add_gt_as_proposals). Returns (boxes, assigned, max_overlaps)."""
         if self.sampler.add_gt_as_proposals:
             boxes = jnp.concatenate([gt_bboxes, proposals[:, :4]], axis=0)
             box_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
@@ -89,19 +86,58 @@ class StandardRoIHead(Module):
             box_valid = prop_valid
         assign = self.assigner.assign(boxes, gt_bboxes, gt_valid,
                                       gt_labels, box_valid=box_valid)
-        sample = self.sampler.sample(key, assign['assigned_gt_inds'])
+        mo = assign.get('max_overlaps')
+        if mo is None:
+            mo = jnp.zeros(boxes.shape[:1], jnp.float32)
+        return boxes, assign['assigned_gt_inds'], mo
+
+    def _sample_single(self, key, boxes, assigned, max_overlaps, hard_scores,
+                       gt_bboxes, gt_labels):
+        """Per-image sampling into S fixed slots
+        (ref: standard_roi_head.py:104-114)."""
+        sample = self.sampler.sample(
+            key, assigned, max_overlaps=max_overlaps,
+            hard_scores=hard_scores, num_gts=gt_bboxes.shape[0])
         inds = sample['inds']
-        sampled_boxes = boxes[inds]
-        assigned = assign['assigned_gt_inds'][inds]
-        safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
+        assigned_s = assigned[inds]
+        safe_gt = jnp.clip(assigned_s - 1, 0, gt_bboxes.shape[0] - 1)
         return dict(
-            boxes=sampled_boxes,
+            boxes=boxes[inds],
             gt_boxes=gt_bboxes[safe_gt],
             gt_inds=safe_gt,
             labels=gt_labels[safe_gt].astype(jnp.int32),
             is_pos=sample['is_pos'],
             valid=sample['valid'],
         )
+
+    def _assign_sample_single(self, key, proposals, prop_valid, gt_bboxes,
+                              gt_valid, gt_labels):
+        """Per-image assign + sample (kept for simple samplers)."""
+        boxes, assigned, mo = self._assign_single(proposals, prop_valid,
+                                                  gt_bboxes, gt_valid,
+                                                  gt_labels)
+        return self._sample_single(key, boxes, assigned, mo, None,
+                                   gt_bboxes, gt_labels)
+
+    def _candidate_hard_scores(self, params, feats, boxes, assigned,
+                               gt_labels):
+        """OHEM hard-mining scores: per-candidate stop-gradient cls loss
+        (ref: samplers/ohem_sampler.py:34-50 hard_mining)."""
+        b, n = boxes.shape[:2]
+        binds = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.float32)[:, None], (b, n))
+        rois = jnp.concatenate([binds[..., None], boxes],
+                               axis=-1).reshape(b * n, 5)
+        out = self._bbox_forward(params, feats, rois, num_imgs=b)
+        cls_score = jax.lax.stop_gradient(out[0]).reshape(b, n, -1)
+        nc = self.bbox_head.num_classes
+        safe = jnp.clip(assigned - 1, 0, gt_labels.shape[1] - 1)
+        labels = jnp.where(assigned > 0,
+                           jnp.take_along_axis(gt_labels, safe, axis=1), nc)
+        loss = self.bbox_head.loss_cls(
+            cls_score.reshape(b * n, -1), labels.reshape(b * n),
+            reduction_override='none')
+        return loss.reshape(b, n)
 
     def forward_train(self, params, feats, proposals, prop_valid, gt_bboxes,
                       gt_valid, gt_labels, key, gt_mask_crops=None,
@@ -117,8 +153,17 @@ class StandardRoIHead(Module):
         """
         b = proposals.shape[0]
         keys = jax.random.split(key, b)
-        sampled = jax.vmap(self._assign_sample_single)(
-            keys, proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
+        if getattr(self.sampler, 'needs_hard_scores', False):
+            boxes_all, assigned_all, mo_all = jax.vmap(self._assign_single)(
+                proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
+            hard = self._candidate_hard_scores(params, feats, boxes_all,
+                                               assigned_all, gt_labels)
+            sampled = jax.vmap(self._sample_single)(
+                keys, boxes_all, assigned_all, mo_all, hard, gt_bboxes,
+                gt_labels)
+        else:
+            sampled = jax.vmap(self._assign_sample_single)(
+                keys, proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
         s = sampled['boxes'].shape[1]
         batch_inds = jnp.broadcast_to(
             jnp.arange(b, dtype=jnp.float32)[:, None], (b, s))
