@@ -69,9 +69,12 @@ def single_device_test(model, params, data_loader, show_progress=True):
                 from ..core.mask import paste_masks_np
                 meta = batch['img_metas'][i]
                 oh, ow = meta['ori_shape'][:2]
-                # aug_test already averages probabilities; simple_test
-                # returns logits
-                prob = masks[i] if aug_mode else \
+                # aug_test and HTC already emit probabilities; plain
+                # simple_test returns logits
+                already_probs = aug_mode or getattr(
+                    getattr(model, 'roi_head', None), 'with_mask_probs',
+                    False)
+                prob = masks[i] if already_probs else \
                     1.0 / (1.0 + np.exp(-masks[i]))
                 pasted = paste_masks_np(prob, d[:, :4], oh, ow)
                 keep = d[:, 4] > -1

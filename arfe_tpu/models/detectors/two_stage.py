@@ -52,7 +52,8 @@ class TwoStageDetector(Module):
         return x
 
     def forward_train(self, params, img, img_shapes, gt_bboxes, gt_valid,
-                      gt_labels, key, gt_mask_crops=None):
+                      gt_labels, key, gt_mask_crops=None,
+                      gt_semantic_seg=None):
         """Training losses (ref: two_stage.py:155-217)."""
         import jax.numpy as jnp
 
@@ -73,10 +74,13 @@ class TwoStageDetector(Module):
                 img_shapes, cfg=proposal_cfg)
         else:
             raise ValueError('forward_train without RPN requires proposals')
+        extra = {}
+        if gt_semantic_seg is not None:
+            extra['gt_semantic_seg'] = gt_semantic_seg
         losses.update(self.roi_head.forward_train(
             params['roi_head'], x, props, prop_valid, gt_bboxes, gt_valid,
             gt_labels, k_rcnn, gt_mask_crops=gt_mask_crops,
-            img_shapes=img_shapes))
+            img_shapes=img_shapes, **extra))
         return losses
 
     def simple_test(self, params, img, img_shapes, scale_factors,

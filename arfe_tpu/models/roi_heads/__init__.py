@@ -3,9 +3,11 @@ from .bbox_heads import (BBoxHead, ConvFCBBoxHead, DoubleConvFCBBoxHead,
                          MultiClassesBBoxHead, MultiRoIsBBoxHead,
                          Shared2FCBBoxHead, Shared2FCMultiClassesBBoxHead,
                          Shared4Conv1FCBBoxHead)
-from .cascade_roi_head import CascadeRoIHead, HybridTaskCascadeRoIHead
+from .cascade_roi_head import CascadeRoIHead
+from .htc_roi_head import HybridTaskCascadeRoIHead
 from .double_roi_head import DoubleHeadRoIHead
-from .mask_heads import FCNMaskHead, MaskIoUHead
+from .mask_heads import (FCNMaskHead, FusedSemanticHead, HTCMaskHead,
+                         MaskIoUHead)
 from .mask_scoring_roi_head import MaskScoringRoIHead
 from .roi_extractors import SingleRoIExtractor
 from .standard_roi_head import StandardRoIHead, StandardRoIHeadPrior
@@ -16,4 +18,4 @@ __all__ = ['BBoxHead', 'ConvFCBBoxHead', 'Shared2FCBBoxHead',
            'SingleRoIExtractor', 'StandardRoIHead', 'StandardRoIHeadPrior',
            'CascadeRoIHead', 'HybridTaskCascadeRoIHead', 'FCNMaskHead',
            'DoubleHeadRoIHead', 'DoubleConvFCBBoxHead', 'MaskIoUHead',
-           'MaskScoringRoIHead']
+           'MaskScoringRoIHead', 'HTCMaskHead', 'FusedSemanticHead']

@@ -214,10 +214,3 @@ class CascadeRoIHead(Module):
 
         return jax.vmap(_one)(boxes, avg_score, bbox_pred, img_shapes,
                               scale_factors, prop_valid)
-
-
-@HEADS.register_module()
-class HybridTaskCascadeRoIHead(CascadeRoIHead):
-    """Placeholder parity alias — interleaved mask/semantic branches of HTC
-    (ref: mmdet/models/roi_heads/htc_roi_head.py) are not yet implemented;
-    behaves as CascadeRoIHead."""

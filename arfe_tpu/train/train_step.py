@@ -40,8 +40,9 @@ def make_train_step(model, optimizer, donate=True):
     def step(params, opt_state, batch, key):
         def loss_fn(p):
             kwargs = {}
-            if 'gt_mask_crops' in batch:
-                kwargs['gt_mask_crops'] = batch['gt_mask_crops']
+            for k in ('gt_mask_crops', 'gt_semantic_seg'):
+                if k in batch:
+                    kwargs[k] = batch[k]
             losses = model.forward_train(
                 p, batch['img'], batch['img_shape'], batch['gt_bboxes'],
                 batch['gt_valid'], batch['gt_labels'], key, **kwargs)
