@@ -43,6 +43,13 @@ class MaxIoUAssigner:
                  labels (N,) int32 or None)
         """
         overlaps = bbox_overlaps(gt_bboxes, bboxes)  # (G, N)
+        return self.assign_from_overlaps(
+            overlaps, bboxes, gt_bboxes, gt_valid, gt_labels, box_valid,
+            gt_bboxes_ignore, gt_ignore_valid)
+
+    def assign_from_overlaps(self, overlaps, bboxes, gt_bboxes, gt_valid,
+                             gt_labels=None, box_valid=None,
+                             gt_bboxes_ignore=None, gt_ignore_valid=None):
         overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
 
         if self.ignore_iof_thr > 0 and gt_bboxes_ignore is not None:
@@ -111,6 +118,27 @@ class MaxIoUAssigner:
             labels = labels.astype(jnp.int32)
         return dict(assigned_gt_inds=assigned, max_overlaps=max_overlaps,
                     labels=labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ApproxMaxIoUAssigner(MaxIoUAssigner):
+    """Assign gts to squares via the max IoU over each square's octave of
+    approx anchors (ref: core/bbox/assigners/approx_max_iou_assigner.py;
+    used by GuidedAnchorHead's shape branch).
+    """
+
+    def assign(self, approxs, squares, approxs_per_octave, gt_bboxes,
+               gt_valid, gt_labels=None, box_valid=None,
+               gt_bboxes_ignore=None, gt_ignore_valid=None):
+        """approxs: (N * approxs_per_octave, 4) ordered per-location
+        (the per-location octave is contiguous); squares: (N, 4)."""
+        n = squares.shape[0]
+        all_overlaps = bbox_overlaps(approxs, gt_bboxes)  # (N*k, G)
+        overlaps = all_overlaps.reshape(
+            n, approxs_per_octave, -1).max(axis=1).T     # (G, N)
+        return self.assign_from_overlaps(
+            overlaps, squares, gt_bboxes, gt_valid, gt_labels, box_valid,
+            gt_bboxes_ignore, gt_ignore_valid)
 
 
 def scale_boxes(bboxes, scale):
@@ -199,6 +227,68 @@ class CenterRegionAssigner:
             shadowed = shadowed & box_valid[:, None]
         return dict(assigned_gt_inds=assigned.astype(jnp.int32),
                     labels=labels, shadowed_mat=shadowed)
+
+
+@BBOX_ASSIGNERS.register_module()
+class PointAssigner:
+    """Assign gts to points (ref: core/bbox/assigners/point_assigner.py:9-134;
+    used by RepPoints' init stage).
+
+    A point is positive for a gt if it is among the gt's ``pos_num`` closest
+    points on the gt's pyramid level; conflicts resolve to the closest gt
+    (the reference's sequential strictly-closer updates mean the earliest gt
+    wins ties, which argmin reproduces).
+    """
+    INF = 1e8
+
+    def __init__(self, scale=4, pos_num=3):
+        self.scale = scale
+        self.pos_num = pos_num
+
+    def assign(self, points, gt_bboxes, gt_valid, gt_labels=None,
+               box_valid=None):
+        """Args: points (N, 3) = (x, y, stride); gt_bboxes (G, 4) padded."""
+        n = points.shape[0]
+        g = gt_bboxes.shape[0]
+        xy = points[:, :2]
+        lvl = jnp.log2(points[:, 2]).astype(jnp.int32)            # (N,)
+        lvl_min = lvl.min()
+        lvl_max = lvl.max()
+
+        gt_xy = (gt_bboxes[:, :2] + gt_bboxes[:, 2:4]) / 2
+        gt_wh = jnp.clip(gt_bboxes[:, 2:4] - gt_bboxes[:, :2], 1e-6, None)
+        gt_lvl = ((jnp.log2(gt_wh[:, 0] / self.scale)
+                   + jnp.log2(gt_wh[:, 1] / self.scale)) / 2).astype(
+                       jnp.int32)
+        gt_lvl = jnp.clip(gt_lvl, lvl_min, lvl_max)
+
+        dist = jnp.linalg.norm(
+            (xy[:, None, :] - gt_xy[None, :, :]) / gt_wh[None, :, :],
+            axis=-1)                                              # (N, G)
+        same_lvl = lvl[:, None] == gt_lvl[None, :]
+        dist = jnp.where(same_lvl & gt_valid[None, :], dist, self.INF)
+        if box_valid is not None:
+            dist = jnp.where(box_valid[:, None], dist, self.INF)
+
+        # strict per-gt rank (stable: ties keep earlier point, matching the
+        # reference's topk picking exactly pos_num points)
+        order = jnp.argsort(dist, axis=0, stable=True)            # (N, G)
+        rank = jnp.zeros_like(order).at[
+            order, jnp.arange(g)[None, :]].set(
+            jnp.broadcast_to(jnp.arange(n)[:, None], (n, g)))
+        cand = (rank < self.pos_num) & (dist < self.INF)
+        cand_dist = jnp.where(cand, dist, self.INF)
+        best = cand_dist.argmin(axis=1).astype(jnp.int32)
+        matched = cand_dist.min(axis=1) < self.INF
+        assigned = jnp.where(matched, best + 1, 0)
+
+        labels = None
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, g - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe],
+                               -1).astype(jnp.int32)
+        return dict(assigned_gt_inds=assigned.astype(jnp.int32),
+                    labels=labels)
 
 
 @BBOX_ASSIGNERS.register_module()

@@ -245,8 +245,10 @@ class AnchorHead(Module):
         label_weights = jnp.where(neg_sel, 1.0, label_weights)
         bbox_targets = jnp.where(pos_sel[:, None], all_targets, bbox_targets)
         bbox_weights = jnp.where(pos_sel[:, None], 1.0, bbox_weights)
+        # 0-based assigned gt index at positives, -1 elsewhere (used by PISA)
+        pos_gt_inds = jnp.where(pos_sel, safe_gt, -1).astype(jnp.int32)
         return (labels, label_weights, bbox_targets, bbox_weights,
-                pos_sel.sum(), neg_sel.sum())
+                pos_sel.sum(), neg_sel.sum(), pos_gt_inds)
 
     def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, gt_labels,
              img_shapes, key):
@@ -285,7 +287,7 @@ class AnchorHead(Module):
                                             shape)
             out = jax.vmap(tgt)(keys, gt_bboxes, gt_valid, gt_labels,
                                 img_shapes)
-        labels, label_weights, bbox_targets, bbox_weights, npos, nneg = out
+        labels, label_weights, bbox_targets, bbox_weights, npos, nneg, _ = out
         num_total_pos = jnp.maximum(npos, 1).sum()
         num_total_neg = jnp.maximum(nneg, 1).sum()
         num_total_samples = (num_total_pos + num_total_neg if self.sampling

@@ -101,7 +101,7 @@ class SSDHead(AnchorHead):
             return self._targets_single(k, anchors, flags, gb, gv, gl,
                                         shape)
 
-        labels, label_weights, bbox_targets, bbox_weights, npos, nneg = \
+        labels, label_weights, bbox_targets, bbox_weights, npos, nneg, _ = \
             jax.vmap(tgt)(keys, gt_bboxes, gt_valid, gt_labels, img_shapes)
 
         cls_flat = jnp.concatenate(

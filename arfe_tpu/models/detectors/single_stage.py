@@ -146,3 +146,15 @@ class FOVEA(SingleStageDetector):
 @DETECTORS.register_module()
 class SSD(SingleStageDetector):
     """ref: mmdet/models/detectors/ssd.py (SingleStageDetector alias)."""
+
+
+@DETECTORS.register_module()
+class RepPointsDetector(SingleStageDetector):
+    """ref: mmdet/models/detectors/reppoints_detector.py (the reference's
+    extra aug-test merging is covered by the generic det-level aug_test
+    here)."""
+
+
+@DETECTORS.register_module()
+class NASFCOS(SingleStageDetector):
+    """ref: mmdet/models/detectors/nasfcos.py"""

@@ -166,7 +166,10 @@ class RPN(Module):
     """Standalone RPN (ref: mmdet/models/detectors/rpn.py)."""
 
     def __init__(self, backbone, neck=None, rpn_head=None, train_cfg=None,
-                 test_cfg=None, pretrained=None):
+                 test_cfg=None, pretrained=None, roi_head=None):
+        # roi_head accepted (and required None) so two-stage base configs
+        # can be retargeted to RPN-only with ``roi_head=None``
+        assert roi_head is None
         self.backbone = build_backbone(backbone)
         self.with_neck = neck is not None
         if self.with_neck:

@@ -28,7 +28,9 @@ class StandardRoIHead(Module):
         when the bbox head declares ``num_roi_groups == 3`` (MultiBBoxHead
         family) — the composable equivalent of the reference's
         comment-toggled extraction (ref: standard_roi_head.py:137-157)."""
-        assert shared_head is None, 'shared_head not yet supported'
+        self.with_shared_head = shared_head is not None
+        if self.with_shared_head:
+            self.shared_head = build_head(shared_head)
         self.with_bbox = bbox_head is not None
         self.with_mask = mask_head is not None
         if self.with_bbox:
@@ -62,12 +64,14 @@ class StandardRoIHead(Module):
                 BBOX_SAMPLERS)
 
     def init(self, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         p = {}
         if self.with_bbox:
             p['bbox_head'] = self.bbox_head.init(k1)
         if self.with_mask:
             p['mask_head'] = self.mask_head.init(k2)
+        if self.with_shared_head:
+            p['shared_head'] = self.shared_head.init(k3)
         return p
 
     # ------------------------------------------------------------------
@@ -139,18 +143,9 @@ class StandardRoIHead(Module):
             reduction_override='none')
         return loss.reshape(b, n)
 
-    def forward_train(self, params, feats, proposals, prop_valid, gt_bboxes,
-                      gt_valid, gt_labels, key, gt_mask_crops=None,
-                      img_shapes=None):
-        """Batched RoI training step (ref: standard_roi_head.py:64-133,
-        172-187).
-
-        Args:
-            proposals: (B, P, 5); prop_valid (B, P).
-            gt_bboxes: (B, G, 4); gt_valid (B, G); gt_labels (B, G).
-        Returns:
-            dict of losses.
-        """
+    def _sample_for_train(self, params, feats, proposals, prop_valid,
+                          gt_bboxes, gt_valid, gt_labels, key):
+        """Batched assign+sample; exposed for subclass heads (grid/PISA)."""
         b = proposals.shape[0]
         keys = jax.random.split(key, b)
         if getattr(self.sampler, 'needs_hard_scores', False):
@@ -164,6 +159,24 @@ class StandardRoIHead(Module):
         else:
             sampled = jax.vmap(self._assign_sample_single)(
                 keys, proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
+        return sampled
+
+    def forward_train(self, params, feats, proposals, prop_valid, gt_bboxes,
+                      gt_valid, gt_labels, key, gt_mask_crops=None,
+                      img_shapes=None):
+        """Batched RoI training step (ref: standard_roi_head.py:64-133,
+        172-187).
+
+        Args:
+            proposals: (B, P, 5); prop_valid (B, P).
+            gt_bboxes: (B, G, 4); gt_valid (B, G); gt_labels (B, G).
+        Returns:
+            dict of losses.
+        """
+        b = proposals.shape[0]
+        sampled = self._sample_for_train(params, feats, proposals,
+                                         prop_valid, gt_bboxes, gt_valid,
+                                         gt_labels, key)
         s = sampled['boxes'].shape[1]
         batch_inds = jnp.broadcast_to(
             jnp.arange(b, dtype=jnp.float32)[:, None], (b, s))
@@ -216,6 +229,8 @@ class StandardRoIHead(Module):
         b, s = sampled['boxes'].shape[:2]
         mask_feats = self.mask_roi_extractor(
             {}, feats[:self.mask_roi_extractor.num_inputs], rois)
+        if self.with_shared_head:
+            mask_feats = self.shared_head(params['shared_head'], mask_feats)
         mask_pred = self.mask_head(params['mask_head'], mask_feats)
         m = mask_pred.shape[1]
 
@@ -255,6 +270,8 @@ class StandardRoIHead(Module):
                 axis=-1)
         else:
             bbox_feats = extractor({}, lvl_feats, rois, **extract_kw)
+        if self.with_shared_head:
+            bbox_feats = self.shared_head(params['shared_head'], bbox_feats)
         if self.with_multi_cls:
             cls_score, bbox_pred, multi_cls = self.bbox_head(
                 params['bbox_head'], bbox_feats, num_imgs=num_imgs)
@@ -402,6 +419,8 @@ class StandardRoIHead(Module):
                                axis=-1).reshape(b * n, 5)
         mask_feats = self.mask_roi_extractor(
             {}, feats[:self.mask_roi_extractor.num_inputs], rois)
+        if self.with_shared_head:
+            mask_feats = self.shared_head(params['shared_head'], mask_feats)
         mask_pred = self.mask_head(params['mask_head'], mask_feats)
         mh, mw = mask_pred.shape[1:3]
         mask_pred = mask_pred.reshape(b, n, mh, mw, -1)

@@ -150,7 +150,10 @@ def batched_nms(boxes, scores, idxs, nms_cfg, max_out=None, valid_mask=None):
     """
     nms_cfg = dict(nms_cfg)
     nms_type = nms_cfg.pop('type', 'nms')
-    iou_thr = nms_cfg.pop('iou_thr')
+    # mmdet 2.0 configs say ``iou_thr``; accept ``iou_threshold`` too
+    iou_thr = nms_cfg.pop('iou_thr', None)
+    if iou_thr is None:
+        iou_thr = nms_cfg.pop('iou_threshold')
     if nms_type == 'soft_nms':
         return soft_nms(boxes, scores, iou_thr, max_out=max_out,
                         valid_mask=valid_mask, **nms_cfg)

@@ -1,0 +1,4 @@
+# PISA RetinaNet
+_base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
+model = dict(bbox_head=dict(type='PISARetinaHead'))
+train_cfg = dict(isr=dict(k=2., bias=0.), carl=dict(k=1., bias=0.2))

@@ -1,0 +1,4 @@
+# PISA SSD300
+_base_ = ['../ssd/ssd300_coco.py']
+model = dict(bbox_head=dict(type='PISASSDHead'))
+train_cfg = dict(isr=dict(k=2., bias=0.25), carl=dict(k=1., bias=0.2))
