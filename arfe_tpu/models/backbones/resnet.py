@@ -62,12 +62,29 @@ class BasicBlock(Module):
         return jax.nn.relu(out + identity)
 
 
+def build_plugin(cfg, in_channels):
+    """(ref: ops/plugin.py:13-41). Returns (name, module)."""
+    from ...ops.attention_ops import ContextBlock, GeneralizedAttention
+    from ...ops.non_local import NonLocal2D
+    plugin_cfg = {
+        'ContextBlock': ('context_block', ContextBlock),
+        'GeneralizedAttention': ('gen_attention_block',
+                                 GeneralizedAttention),
+        'NonLocal2D': ('nonlocal_block', NonLocal2D),
+    }
+    cfg = dict(cfg)
+    layer_type = cfg.pop('type')
+    postfix = cfg.pop('postfix', '')
+    abbr, cls = plugin_cfg[layer_type]
+    return abbr + str(postfix), cls(in_channels, **cfg)
+
+
 class Bottleneck(Module):
     expansion = 4
 
     def __init__(self, inplanes, planes, stride=1, dilation=1,
                  downsample=False, style='pytorch', avg_down=False,
-                 dcn=None):
+                 dcn=None, plugins=None):
         if style == 'pytorch':
             conv1_stride, conv2_stride = 1, stride
         else:  # caffe
@@ -101,24 +118,48 @@ class Bottleneck(Module):
                                   stride=ds_stride, bias=False,
                                   weight_init='kaiming_fan_out')
             self.ds_bn = BatchNorm(planes * self.expansion)
+        # per-position plugin hooks (ref: resnet.py:159-279)
+        self.plugins = {'after_conv1': [], 'after_conv2': [],
+                        'after_conv3': []}
+        if plugins:
+            chans = {'after_conv1': planes, 'after_conv2': planes,
+                     'after_conv3': planes * self.expansion}
+            for p in plugins:
+                pos = p['position']
+                self.plugins[pos].append(
+                    build_plugin(p['cfg'], chans[pos]))
 
     def init(self, key):
-        keys = jax.random.split(key, 4)
+        n_plug = sum(len(v) for v in self.plugins.values())
+        keys = jax.random.split(key, 4 + n_plug)
         p = {'conv1': self.conv1.init(keys[0]), 'bn1': self.bn1.init(keys[0]),
              'conv2': self.conv2.init(keys[1]), 'bn2': self.bn2.init(keys[1]),
              'conv3': self.conv3.init(keys[2]), 'bn3': self.bn3.init(keys[2])}
         if self.has_downsample:
             p['downsample'] = {'0': self.ds_conv.init(keys[3]),
                                '1': self.ds_bn.init(keys[3])}
+        i = 4
+        for pos in ('after_conv1', 'after_conv2', 'after_conv3'):
+            for name, mod in self.plugins[pos]:
+                p[name] = mod.init(keys[i])
+                i += 1
         return p
+
+    def _plugin(self, params, pos, x):
+        for name, mod in self.plugins[pos]:
+            x = mod(params[name], x)
+        return x
 
     def __call__(self, params, x):
         identity = x
         out = jax.nn.relu(self.bn1(params['bn1'],
                                    self.conv1(params['conv1'], x)))
+        out = self._plugin(params, 'after_conv1', out)
         out = jax.nn.relu(self.bn2(params['bn2'],
                                    self.conv2(params['conv2'], out)))
+        out = self._plugin(params, 'after_conv2', out)
         out = self.bn3(params['bn3'], self.conv3(params['conv3'], out))
+        out = self._plugin(params, 'after_conv3', out)
         if self.has_downsample:
             ds_in = x
             if self.avg_down and self.stride > 1:
@@ -152,8 +193,6 @@ class ResNet(Module):
                  plugins=None, with_cp=False):
         if depth not in self.arch_settings:
             raise KeyError(f'invalid depth {depth} for resnet')
-        assert gcb is None and gen_attention is None and plugins is None, \
-            'gcb/gen_attention/plugins backbone hooks land in round 2'
         block_cls, stage_blocks = self.arch_settings[depth]
         self.depth = depth
         self.num_stages = num_stages
@@ -188,15 +227,32 @@ class ResNet(Module):
             stride, dilation = strides[i], dilations[i]
             stage_dcn = dcn if (dcn is not None
                                 and stage_with_dcn[i]) else None
+            stage_plugins = self._stage_plugins(plugins, i) \
+                if plugins is not None else []
             blocks = []
             for j in range(stage_blocks[i]):
                 s = stride if j == 0 else 1
                 need_ds = j == 0 and (
                     s != 1 or inplanes != planes * block_cls.expansion)
+                block_plugins = list(stage_plugins)
+                # mmdet-1.x-style gcb / gen_attention shortcuts
+                # (ref: the reference's configs use the plugins schema;
+                # these args keep 1.x-style ARFE configs loading)
+                if gcb is not None and stage_with_gcb[i]:
+                    block_plugins.append(dict(
+                        cfg=dict(type='ContextBlock', **gcb),
+                        position='after_conv3'))
+                if gen_attention is not None and \
+                        j in stage_with_gen_attention[i]:
+                    block_plugins.append(dict(
+                        cfg=dict(type='GeneralizedAttention',
+                                 **gen_attention),
+                        position='after_conv2'))
                 blocks.append(block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,
                                         style=style, avg_down=avg_down,
-                                        dcn=stage_dcn)
+                                        dcn=stage_dcn,
+                                        plugins=block_plugins or None)
                               if block_cls is Bottleneck else
                               block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,
@@ -204,6 +260,17 @@ class ResNet(Module):
                 inplanes = planes * block_cls.expansion
             self.layers.append(blocks)
             self.out_channels.append(planes * block_cls.expansion)
+
+    @staticmethod
+    def _stage_plugins(plugins, stage_idx):
+        """Filter plugins for one stage (ref: resnet.py:501-560)."""
+        out = []
+        for p in plugins:
+            p = dict(p)
+            stages = p.pop('stages', None)
+            if stages is None or stages[stage_idx]:
+                out.append(p)
+        return out
 
     def init(self, key):
         params = {}

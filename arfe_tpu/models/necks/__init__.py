@@ -1,8 +1,11 @@
 from .fpn import FPN
+from .fpn_carafe import FPN_CARAFE
+from .nas_fpn import NASFPN
+from .nasfcos_fpn import NASFCOS_FPN
 from .pafpn import HRFPN, PAFPN
 from .wfpn import (BFP, WFPN, WFPNAVG, WFPNChannel, WFPNChannelADD,
                    WFPNDeform, WFPNDualSpatial, WFPNPool, WFPNPreTreat)
 
 __all__ = ['FPN', 'PAFPN', 'HRFPN', 'WFPNDualSpatial', 'WFPN', 'WFPNChannel',
            'WFPNChannelADD', 'WFPNAVG', 'WFPNPool', 'WFPNPreTreat',
-           'WFPNDeform', 'BFP']
+           'WFPNDeform', 'BFP', 'NASFPN', 'FPN_CARAFE', 'NASFCOS_FPN']

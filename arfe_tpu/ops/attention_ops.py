@@ -94,52 +94,147 @@ class _ChannelConv(Module):
 
 
 class GeneralizedAttention(Module):
-    """Content-content generalized attention ('1100' mode)
-    (ref: ops/generalized_attention.py)."""
+    """Empirical generalized attention, all four factorization terms
+    (ref: ops/generalized_attention.py:10-385).
+
+    ``attention_type`` bits: [0] query-content x key-content,
+    [1] query-content x relative-position, [2] key-content saliency bias,
+    [3] relative-position-only bias. Position energies are separable in
+    x/y, exactly as the reference computes them (no 1/sqrt(d) scaling —
+    the reference has none).
+    """
 
     def __init__(self, in_channels, spatial_range=-1, num_heads=9,
                  position_embedding_dim=-1, position_magnitude=1,
-                 kv_stride=2, q_stride=1, attention_type='1100'):
+                 kv_stride=2, q_stride=1, attention_type='1111'):
         self.in_channels = in_channels
         self.num_heads = num_heads
         self.kv_stride = kv_stride
+        self.q_stride = q_stride
+        self.spatial_range = spatial_range
+        self.position_magnitude = position_magnitude
+        self.position_embedding_dim = (position_embedding_dim
+                                       if position_embedding_dim > 0
+                                       else in_channels)
+        self.attention_type = [bool(int(b)) for b in attention_type]
         self.qk_embed_dim = in_channels // num_heads
         out_c = self.qk_embed_dim * num_heads
-        self.query_conv = Conv2d(in_channels, out_c, 1, bias=False,
-                                 weight_init='normal', init_std=0.01)
-        self.key_conv = Conv2d(in_channels, out_c, 1, bias=False,
-                               weight_init='normal', init_std=0.01)
+        self.out_c = out_c
+        at = self.attention_type
+        if at[0] or at[1]:
+            self.query_conv = Conv2d(in_channels, out_c, 1, bias=False,
+                                     weight_init='torch_default')
+        if at[0] or at[2]:
+            self.key_conv = Conv2d(in_channels, out_c, 1, bias=False,
+                                   weight_init='torch_default')
         self.v_dim = in_channels // num_heads
         self.value_conv = Conv2d(in_channels, self.v_dim * num_heads, 1,
-                                 bias=False, weight_init='normal',
-                                 init_std=0.01)
+                                 bias=False, weight_init='torch_default')
+        if at[1] or at[3]:
+            from ..layers import Linear
+            self.appr_geom_fc_x = Linear(self.position_embedding_dim // 2,
+                                         out_c, bias=False)
+            self.appr_geom_fc_y = Linear(self.position_embedding_dim // 2,
+                                         out_c, bias=False)
         self.proj_conv = Conv2d(self.v_dim * num_heads, in_channels, 1,
-                                weight_init='normal', init_std=0.01)
+                                weight_init='torch_default')
 
     def init(self, key):
-        keys = jax.random.split(key, 4)
-        p = {'query_conv': self.query_conv.init(keys[0]),
-             'key_conv': self.key_conv.init(keys[1]),
-             'value_conv': self.value_conv.init(keys[2]),
+        import math
+        keys = jax.random.split(key, 8)
+        at = self.attention_type
+        p = {'value_conv': self.value_conv.init(keys[2]),
              'proj_conv': self.proj_conv.init(keys[3]),
              'gamma': jnp.zeros((1,))}
+        if at[0] or at[1]:
+            p['query_conv'] = self.query_conv.init(keys[0])
+        if at[0] or at[2]:
+            p['key_conv'] = self.key_conv.init(keys[1])
+        if at[1] or at[3]:
+            p['appr_geom_fc_x'] = self.appr_geom_fc_x.init(keys[4])
+            p['appr_geom_fc_y'] = self.appr_geom_fc_y.init(keys[5])
+        stdv = 1.0 / math.sqrt(self.qk_embed_dim * 2)
+        if at[2]:
+            p['appr_bias'] = jax.random.uniform(
+                keys[6], (self.out_c,), jnp.float32, -stdv, stdv)
+        if at[3]:
+            p['geom_bias'] = jax.random.uniform(
+                keys[7], (self.out_c,), jnp.float32, -stdv, stdv)
         return p
 
+    def _position_embedding(self, h, w, hk, wk, wave_length=1000):
+        """(ref: get_position_embedding, generalized_attention.py:153-195)."""
+        feat_dim = self.position_embedding_dim
+        h_idx = jnp.arange(h, dtype=jnp.float32) * self.q_stride
+        w_idx = jnp.arange(w, dtype=jnp.float32) * self.q_stride
+        hk_idx = jnp.arange(hk, dtype=jnp.float32) * self.kv_stride
+        wk_idx = jnp.arange(wk, dtype=jnp.float32) * self.kv_stride
+        h_diff = (h_idx[:, None] - hk_idx[None, :]) * self.position_magnitude
+        w_diff = (w_idx[:, None] - wk_idx[None, :]) * self.position_magnitude
+        feat_range = jnp.arange(feat_dim // 4, dtype=jnp.float32)
+        dim_mat = wave_length ** ((4. / feat_dim) * feat_range)
+        ex = jnp.concatenate([jnp.sin(w_diff[..., None] / dim_mat),
+                              jnp.cos(w_diff[..., None] / dim_mat)], -1)
+        ey = jnp.concatenate([jnp.sin(h_diff[..., None] / dim_mat),
+                              jnp.cos(h_diff[..., None] / dim_mat)], -1)
+        return ex, ey                                  # (w, wk, D/2), (h, hk, D/2)
+
     def __call__(self, params, x):
-        n, h, w, c = x.shape
-        kv = x[:, ::self.kv_stride, ::self.kv_stride, :]
+        import math
+        at = self.attention_type
+        n, _, _, c = x.shape
+        xq = x[:, ::self.q_stride, ::self.q_stride, :] \
+            if self.q_stride > 1 else x
+        h, w = xq.shape[1:3]
+        kv = x[:, ::self.kv_stride, ::self.kv_stride, :] \
+            if self.kv_stride > 1 else x
         hk, wk = kv.shape[1:3]
         nh, d = self.num_heads, self.qk_embed_dim
-        q = self.query_conv(params['query_conv'], x).reshape(
-            n, h * w, nh, d)
-        k = self.key_conv(params['key_conv'], kv).reshape(
-            n, hk * wk, nh, d)
+
+        if at[0] or at[1]:
+            q = self.query_conv(params['query_conv'], xq).reshape(
+                n, h, w, nh, d).astype(jnp.float32)
+        if at[0] or at[2]:
+            k = self.key_conv(params['key_conv'], kv).reshape(
+                n, hk, wk, nh, d).astype(jnp.float32)
+        if at[1] or at[3]:
+            ex, ey = self._position_embedding(h, w, hk, wk)
+            # (w, wk, nh, d) / (h, hk, nh, d), scaled by 1/sqrt(2)
+            fx = self.appr_geom_fc_x(params['appr_geom_fc_x'], ex).reshape(
+                w, wk, nh, d) / math.sqrt(2)
+            fy = self.appr_geom_fc_y(params['appr_geom_fc_y'], ey).reshape(
+                h, hk, nh, d) / math.sqrt(2)
+
+        energy = jnp.zeros((n, nh, h, w, hk, wk), jnp.float32)
+        if at[0] and at[2]:
+            qb = q + params['appr_bias'].reshape(nh, d)
+            energy = energy + jnp.einsum('nhwed,nkled->nehwkl', qb, k)
+        elif at[0]:
+            energy = energy + jnp.einsum('nhwed,nkled->nehwkl', q, k)
+        elif at[2]:
+            ab = params['appr_bias'].reshape(nh, d)
+            energy = energy + jnp.einsum(
+                'ed,nkled->nekl', ab, k)[:, :, None, None]
+        if at[1] or at[3]:
+            if at[1]:
+                qg = q + params['geom_bias'].reshape(nh, d) if at[3] else q
+                # e_x: (n, nh, h, w, wk); e_y: (n, nh, h, w, hk)
+                e_x = jnp.einsum('nhwed,wled->nehwl', qg, fx)
+                e_y = jnp.einsum('nhwed,hked->nehwk', qg, fy)
+                energy = energy + e_x[:, :, :, :, None, :] \
+                    + e_y[:, :, :, :, :, None]
+            else:  # position-only bias term
+                gb = params['geom_bias'].reshape(nh, d)
+                e_x = jnp.einsum('wled,ed->ewl', fx, gb)   # (nh, w, wk)
+                e_y = jnp.einsum('hked,ed->ehk', fy, gb)   # (nh, h, hk)
+                energy = energy \
+                    + e_x[None, :, None, :, None, :] \
+                    + e_y[None, :, :, None, :, None]
+
+        energy = energy.reshape(n, nh, h * w, hk * wk)
+        attn = jax.nn.softmax(energy, axis=-1)
         v = self.value_conv(params['value_conv'], kv).reshape(
             n, hk * wk, nh, self.v_dim)
-        logits = jnp.einsum('nqhd,nkhd->nhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(float(d))
-        attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum('nhqk,nkhv->nqhv', attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(n, h, w, nh * self.v_dim).astype(x.dtype)

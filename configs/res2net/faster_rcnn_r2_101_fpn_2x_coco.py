@@ -1,0 +1,7 @@
+# Faster R-CNN + Res2Net-101 (backbone ref: mmdet/models/backbones/res2net.py)
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
+model = dict(
+    pretrained=None,
+    backbone=dict(type='Res2Net', depth=101, scales=4, base_width=26))
+lr_config = dict(step=[16, 22])
+total_epochs = 24

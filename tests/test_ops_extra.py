@@ -60,9 +60,9 @@ def test_context_block():
 
 
 def test_generalized_attention_identity_at_init():
-    ga = GeneralizedAttention(18, num_heads=9)
+    ga = GeneralizedAttention(16, num_heads=8)
     p = ga.init(jax.random.PRNGKey(0))
-    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 18),
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 16),
                     jnp.float32)
     out = ga(p, x)
     # gamma starts at 0 -> identity
