@@ -1,3 +1,9 @@
+from .experimental_fpns import (ATTFF, ATTFF2, ATTSEP, MULTISEC, CbamModule,
+                                DeformFPN, FPNBAM, FPNBU, FPNCBAM, FPNCROSS,
+                                FPNDAM, FPNDENOISE, FPNDENOISEBU,
+                                FPNDualSpatial, FPNFEATSEL, FPNIPT,
+                                FPNIPTWHOLE, FPNMULTI, FPNMultiRF, FPNNEWTD,
+                                FPNRECOMB, FPNRF, FPNRelation)
 from .fpn import FPN
 from .fpn_carafe import FPN_CARAFE
 from .nas_fpn import NASFPN
@@ -8,4 +14,9 @@ from .wfpn import (BFP, WFPN, WFPNAVG, WFPNChannel, WFPNChannelADD,
 
 __all__ = ['FPN', 'PAFPN', 'HRFPN', 'WFPNDualSpatial', 'WFPN', 'WFPNChannel',
            'WFPNChannelADD', 'WFPNAVG', 'WFPNPool', 'WFPNPreTreat',
-           'WFPNDeform', 'BFP', 'NASFPN', 'FPN_CARAFE', 'NASFCOS_FPN']
+           'WFPNDeform', 'BFP', 'NASFPN', 'FPN_CARAFE', 'NASFCOS_FPN',
+           'ATTFF', 'ATTFF2', 'ATTSEP', 'MULTISEC', 'DeformFPN', 'FPNBAM',
+           'FPNBU', 'FPNCBAM', 'FPNCROSS', 'FPNDAM', 'FPNDENOISE',
+           'FPNDENOISEBU', 'FPNDualSpatial', 'FPNFEATSEL', 'FPNIPT',
+           'FPNIPTWHOLE', 'FPNMULTI', 'FPNMultiRF', 'FPNNEWTD', 'FPNRECOMB',
+           'FPNRF', 'FPNRelation', 'CbamModule']

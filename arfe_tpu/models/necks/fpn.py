@@ -65,26 +65,58 @@ class FPN(Module):
                     in_ch, out_channels, 3, stride=2, padding=1,
                     norm_cfg=norm_cfg, act_cfg=act, weight_init='xavier'))
 
+    # -- subclass hooks (used by the experimental ARFE FPN variants) --
+
+    def extra_module_groups(self):
+        """dict of name -> list[Module]; initialized under that name."""
+        return {}
+
+    def _pre_topdown(self, params, laterals, inputs):
+        return laterals
+
+    def _post_topdown(self, params, laterals, inputs):
+        return laterals
+
     def init(self, key):
+        extra = self.extra_module_groups()
+        n_extra = sum(len(v) for v in extra.values())
         keys = jax.random.split(key, len(self.lateral_convs)
-                                + len(self.fpn_convs))
-        return {
+                                + len(self.fpn_convs) + max(n_extra, 1))
+        p = {
             'lateral_convs': {str(i): m.init(keys[i])
                               for i, m in enumerate(self.lateral_convs)},
             'fpn_convs': {str(i): m.init(keys[len(self.lateral_convs) + i])
                           for i, m in enumerate(self.fpn_convs)},
         }
+        it = iter(keys[len(self.lateral_convs) + len(self.fpn_convs):])
+        for name, mods in extra.items():
+            p[name] = {str(i): m.init(next(it))
+                       for i, m in enumerate(mods)}
+        return p
 
-    def __call__(self, params, inputs):
-        assert len(inputs) == len(self.in_channels)
-        lp, fp = params['lateral_convs'], params['fpn_convs']
-        laterals = [m(lp[str(i)], inputs[i + self.start_level])
-                    for i, m in enumerate(self.lateral_convs)]
-        used = len(laterals)
-        for i in range(used - 1, 0, -1):
+    def _laterals(self, params, inputs):
+        lp = params['lateral_convs']
+        return [m(lp[str(i)], inputs[i + self.start_level])
+                for i, m in enumerate(self.lateral_convs)]
+
+    def _topdown(self, params, laterals, inputs):
+        for i in range(len(laterals) - 1, 0, -1):
             tgt = laterals[i - 1].shape[1:3]
             laterals[i - 1] = laterals[i - 1] + resize_nearest(
                 laterals[i], tgt)
+        return laterals
+
+    def __call__(self, params, inputs):
+        assert len(inputs) == len(self.in_channels)
+        laterals = self._laterals(params, inputs)
+        laterals = self._pre_topdown(params, laterals, inputs)
+        laterals = self._topdown(params, laterals, inputs)
+        laterals = self._post_topdown(params, laterals, inputs)
+        return self._build_outputs(params, laterals, inputs)
+
+    def _build_outputs(self, params, laterals, inputs):
+        fp = params['fpn_convs']
+        used = len(laterals)
         outs = [self.fpn_convs[i](fp[str(i)], laterals[i])
                 for i in range(used)]
         if self.num_outs > used:

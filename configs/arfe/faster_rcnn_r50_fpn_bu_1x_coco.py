@@ -1,0 +1,8 @@
+# Faster R-CNN with the FPNBU research neck (ref: necks/fpn_bu.py)
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
+model = dict(
+    neck=[dict(
+        type='FPNBU',
+        in_channels=[256, 512, 1024, 2048],
+        out_channels=256,
+        num_outs=5)])
