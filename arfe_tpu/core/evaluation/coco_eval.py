@@ -51,8 +51,10 @@ class COCOEvaluator:
     """
 
     def __init__(self, coco_gt, iou_type='bbox', use_cats=True,
-                 max_dets=MAX_DETS, area_rngs=None):
+                 max_dets=MAX_DETS, area_rngs=None, iou_thrs=None):
         assert iou_type in ('bbox', 'proposal')
+        self.iou_thrs = np.asarray(iou_thrs) if iou_thrs is not None \
+            else IOU_THRS
         self.coco_gt = coco_gt
         self.use_cats = use_cats and iou_type == 'bbox'
         self.max_dets = tuple(max_dets)
@@ -95,11 +97,11 @@ class COCOEvaluator:
         ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
 
         nd, ng = len(dt_anns), len(gt_anns)
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         dt_matched = np.zeros((t, nd), dtype=np.int64)   # matched gt idx + 1
         gt_matched = np.zeros((t, ng), dtype=np.int64)
         dt_ignore = np.zeros((t, nd), dtype=bool)
-        for ti, thr in enumerate(IOU_THRS):
+        for ti, thr in enumerate(self.iou_thrs):
             for di in range(nd):
                 best_iou = min(thr, 1 - 1e-10)
                 best_g = -1
@@ -135,7 +137,7 @@ class COCOEvaluator:
         """Returns dict with 'precision' (T, R, K, A, M), 'recall'
         (T, K, A, M) and the 12 standard stats."""
         gts, dts = self._gather(coco_dt)
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         r = len(RECALL_THRS)
         k_num = len(self.cat_ids)
         a_num = len(self.area_rngs)
@@ -199,7 +201,10 @@ class COCOEvaluator:
             mi = self.max_dets.index(max_det)
             p = precision[:, :, :, ai, mi]
             if iou_thr is not None:
-                ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+                hits = np.where(np.isclose(self.iou_thrs, iou_thr))[0]
+                if not len(hits):   # custom iou_thrs without this point
+                    return -1.0
+                ti = int(hits[0])
                 p = p[ti:ti + 1]
             p = p[p > -1]
             return float(p.mean()) if p.size else -1.0

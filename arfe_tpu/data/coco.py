@@ -146,7 +146,8 @@ class CocoDataset(CustomDataset):
             else COCO.from_dict({'images': [], 'annotations': [],
                                  'categories': []})
         if 'bbox' in metrics:
-            ev = COCOEvaluator(self.coco, iou_type='bbox')
+            ev = COCOEvaluator(self.coco, iou_type='bbox',
+                               iou_thrs=iou_thrs)
             ev.img_ids = self.img_ids
             stats = ev.evaluate(coco_dt)['stats']
             for k in ('AP', 'AP50', 'AP75', 'APs', 'APm', 'APl'):
@@ -178,3 +179,12 @@ class VisdroneDataset(CocoDataset):
 class BaiduDataset(CocoDataset):
     """(ref: mmdet/datasets/baidu.py:5)."""
     CLASSES = ('plate',)
+
+
+@DATASETS.register_module()
+class CityscapesDataset(CocoDataset):
+    """(ref: mmdet/datasets/cityscapes.py:19-333; COCO-format annotations
+    from the standard cityscapes conversion)."""
+
+    CLASSES = ('person', 'rider', 'car', 'truck', 'bus', 'train',
+               'motorcycle', 'bicycle')

@@ -518,3 +518,148 @@ class MultiScaleFlipAug:
                 aug_data.append(self.transforms(_results))
         # collate list of dicts -> dict of lists
         return {k: [d[k] for d in aug_data] for k in aug_data[0]}
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """Apply an ImageNet-C-style corruption
+    (ref: datasets/pipelines/transforms.py:692-711; corruption math in
+    data/corruptions.py — self-contained, no imagecorruptions dep)."""
+
+    def __init__(self, corruption, severity=1):
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results):
+        from .corruptions import corrupt
+        results['img'] = corrupt(results['img'].astype(np.uint8),
+                                 corruption_name=self.corruption,
+                                 severity=self.severity)
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(corruption={self.corruption}, '
+                f'severity={self.severity})')
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """Rescale the semantic segmentation map by ``scale_factor``
+    (ref: transforms.py SegRescale; used by HTC)."""
+
+    def __init__(self, scale_factor=1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        for key in results.get('seg_fields', ['gt_semantic_seg']):
+            if key in results and self.scale_factor != 1:
+                seg = results[key]
+                h, w = seg.shape[:2]
+                results[key] = cv2.resize(
+                    seg, (int(w * self.scale_factor),
+                          int(h * self.scale_factor)),
+                    interpolation=cv2.INTER_NEAREST)
+        return results
+
+
+@PIPELINES.register_module()
+class LoadProposals:
+    """Load precomputed proposals from results['proposals']
+    (ref: pipelines/loading.py:284-310)."""
+
+    def __init__(self, num_max_proposals=None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results):
+        proposals = results['proposals']
+        if proposals.shape[1] not in (4, 5):
+            raise AssertionError(
+                'proposals should have shapes (n, 4) or (n, 5), '
+                f'but found {proposals.shape}')
+        proposals = proposals[:, :4]
+        if self.num_max_proposals is not None:
+            proposals = proposals[:self.num_max_proposals]
+        if len(proposals) == 0:
+            proposals = np.array([[0, 0, 0, 0]], dtype=np.float32)
+        results['proposals'] = proposals.astype(np.float32)
+        results.setdefault('bbox_fields', []).append('proposals')
+        return results
+
+
+@PIPELINES.register_module()
+class Transpose:
+    """(ref: pipelines/formating.py Transpose)."""
+
+    def __init__(self, keys, order):
+        self.keys = keys
+        self.order = order
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = results[key].transpose(self.order)
+        return results
+
+
+@PIPELINES.register_module()
+class ToDataContainer:
+    """Compatibility shim (ref: formating.py ToDataContainer) — the TPU
+    pipeline has no DataContainer; fields pass through unchanged so
+    reference configs load."""
+
+    def __init__(self, fields=None):
+        self.fields = fields
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register_module()
+class ToTensor:
+    """(ref: formating.py ToTensor) — numpy arrays are the device format."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = np.asarray(results[key])
+        return results
+
+
+@PIPELINES.register_module()
+class WrapFieldsToLists:
+    """Wrap every field into a single-element list
+    (ref: formating.py WrapFieldsToLists)."""
+
+    def __call__(self, results):
+        return {k: [v] for k, v in results.items()}
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Albumentations wrapper (ref: transforms.py:715-830). The
+    ``albumentations`` package is not available in this environment; this
+    raises at build time with a clear message rather than silently
+    skipping augmentation."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import albumentations  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'the Albu transform requires the albumentations package, '
+                'which is not installed in this environment') from e
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """InstaBoost wrapper (ref: pipelines/instaboost.py). Requires the
+    ``instaboostfast`` package, not available here; raises at build time."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import instaboostfast  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'the InstaBoost transform requires instaboostfast, '
+                'which is not installed in this environment') from e

@@ -96,3 +96,30 @@ class VOCDataset(XMLDataset):
                               scale_ranges=scale_ranges, iou_thr=iou_thr,
                               dataset=ds_name)
         return {'mAP': mean_ap}
+
+
+@DATASETS.register_module()
+class WIDERFaceDataset(XMLDataset):
+    """WIDER Face in PASCAL-VOC layout
+    (ref: mmdet/datasets/wider_face.py:11-57): images live under
+    ``<folder>/<img_id>.jpg`` as recorded in each annotation's XML."""
+
+    CLASSES = ('face',)
+
+    def load_annotations(self, ann_file):
+        data_infos = []
+        with open(ann_file) as f:
+            img_ids = [line.strip() for line in f if line.strip()]
+        for img_id in img_ids:
+            xml_path = osp.join(self.img_prefix, 'Annotations',
+                                f'{img_id}.xml')
+            tree = ET.parse(xml_path)
+            root = tree.getroot()
+            size = root.find('size')
+            width = int(size.find('width').text)
+            height = int(size.find('height').text)
+            folder = root.find('folder').text
+            data_infos.append(dict(
+                id=img_id, filename=osp.join(folder, f'{img_id}.jpg'),
+                width=width, height=height))
+        return data_infos
