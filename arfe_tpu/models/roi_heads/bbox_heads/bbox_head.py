@@ -20,6 +20,14 @@ from ...layers import ConvModule, Linear, Module, avg_pool2d
 from ...losses.accuracy import accuracy
 
 
+def _flatten_nchw(x):
+    """Flatten NHWC roi features in torch's (C, H, W) order so FC weights
+    convert 1:1 from torch state_dicts (torch flattens NCHW)."""
+    if x.ndim == 4:
+        return x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+    return x.reshape(x.shape[0], -1)
+
+
 @HEADS.register_module()
 class BBoxHead(Module):
     """Simplest RoI head: optional avg pool + cls fc + reg fc."""
@@ -80,7 +88,7 @@ class BBoxHead(Module):
         if self.with_avg_pool:
             x = x.mean(axis=(1, 2))
         else:
-            x = x.reshape(x.shape[0], -1)
+            x = _flatten_nchw(x)
         cls_score = self.fc_cls(params['fc_cls'], x) if self.with_cls \
             else None
         bbox_pred = self.fc_reg(params['fc_reg'], x) if self.with_reg \
@@ -264,7 +272,7 @@ class ConvFCBBoxHead(BBoxHead):
         for i, m in enumerate(self.shared_convs):
             x = m(params['shared_convs'][str(i)], x)
         if self.num_shared_fcs > 0:
-            x = x.reshape(x.shape[0], -1)
+            x = _flatten_nchw(x)
             for i, m in enumerate(self.shared_fcs):
                 x = jax.nn.relu(m(params['shared_fcs'][str(i)], x))
         return x
@@ -276,7 +284,7 @@ class ConvFCBBoxHead(BBoxHead):
             if self.with_avg_pool:
                 x = x.mean(axis=(1, 2))
             else:
-                x = x.reshape(x.shape[0], -1)
+                x = _flatten_nchw(x)
         for i, m in enumerate(fcs):
             x = jax.nn.relu(m(params[fc_key][str(i)], x))
         return x

@@ -98,7 +98,8 @@ class DoubleConvFCBBoxHead(BBoxHead):
         x_conv = x_conv.mean(axis=(1, 2))
         bbox_pred = self.fc_reg(params['fc_reg'], x_conv)
 
-        x_fc = x_cls.reshape(x_cls.shape[0], -1)
+        from .bbox_head import _flatten_nchw
+        x_fc = _flatten_nchw(x_cls)
         for i, m in enumerate(self.fc_branch):
             x_fc = jax.nn.relu(self.fc_branch[i](params['fc_branch'][str(i)],
                                                  x_fc))

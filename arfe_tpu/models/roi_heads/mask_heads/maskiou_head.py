@@ -54,7 +54,8 @@ class MaskIoUHead(Module):
         x = jnp.concatenate([mask_feat.astype(jnp.float32), pooled], axis=-1)
         for i, m in enumerate(self.convs):
             x = jax.nn.relu(m(params['convs'][str(i)], x))
-        x = x.reshape(x.shape[0], -1)
+        from ..bbox_heads.bbox_head import _flatten_nchw
+        x = _flatten_nchw(x)
         for i, m in enumerate(self.fcs):
             x = jax.nn.relu(m(params['fcs'][str(i)], x))
         return self.fc_mask_iou(params['fc_mask_iou'], x)

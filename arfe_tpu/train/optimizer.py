@@ -94,30 +94,131 @@ def build_lr_schedule(lr_config, base_lr, iters_per_epoch):
     return schedule
 
 
+def _is_norm_path(path_str):
+    """A param belonging to a BN/GN layer (our ConvModule names norms
+    ``bn``; backbones use bn1/bn2/.../gn; HRNet transitions use index '1'
+    inside ConvBN — those also expose running stats siblings, handled by
+    the caller)."""
+    import re
+    return bool(re.search(r'(^|\.)((bn|gn|norm)\w*)(\.|$)', path_str))
+
+
+def paramwise_multipliers(params, paramwise_cfg):
+    """lr / weight-decay multiplier pytrees
+    (ref: mmdet/core/optimizer/default_constructor.py:13-180 —
+    bias_lr_mult, bias_decay_mult, norm_decay_mult, dcn_offset_lr_mult,
+    plus mmcv's custom_keys)."""
+    cfg = dict(paramwise_cfg or {})
+    bias_lr = cfg.get('bias_lr_mult', 1.0)
+    bias_wd = cfg.get('bias_decay_mult', 1.0)
+    norm_wd = cfg.get('norm_decay_mult', 1.0)
+    dcn_lr = cfg.get('dcn_offset_lr_mult', 1.0)
+    custom = cfg.get('custom_keys', {})
+
+    # find BN parents via running-stat siblings
+    flat = {}
+
+    def collect(d, prefix=''):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                collect(v, f'{prefix}.{k}' if prefix else k)
+        else:
+            flat[prefix] = d
+    collect(params)
+    bn_parents = {p.rsplit('.', 1)[0] for p in flat
+                  if p.endswith('running_mean')}
+
+    def mults(path, leaf):
+        p = _path_str(path)
+        for key, sub in custom.items():
+            if key in p:
+                return (sub.get('lr_mult', 1.0),
+                        sub.get('decay_mult', 1.0))
+        parent = p.rsplit('.', 1)[0] if '.' in p else ''
+        is_norm = parent in bn_parents or _is_norm_path(p)
+        lr_m, wd_m = 1.0, 1.0
+        if is_norm:
+            wd_m = norm_wd
+        elif p.endswith('.bias'):
+            lr_m, wd_m = bias_lr, bias_wd
+        if 'conv_offset' in p:
+            lr_m = dcn_lr
+        return (lr_m, wd_m)
+
+    lr_tree = tree_map_with_path(lambda pa, l: mults(pa, l)[0], params)
+    wd_tree = tree_map_with_path(lambda pa, l: mults(pa, l)[1], params)
+    return lr_tree, wd_tree
+
+
+# optimizer gradient transforms, keyed by config ``type``
+# (counterpart of the reference's torch-optimizer registry)
+OPTIMIZERS = {}
+
+
+def register_optimizer(name):
+    def deco(fn):
+        OPTIMIZERS[name] = fn
+        return fn
+    return deco
+
+
+@register_optimizer('SGD')
+def _sgd(cfg):
+    return optax.trace(decay=cfg.pop('momentum', 0.0),
+                       nesterov=cfg.pop('nesterov', False))
+
+
+@register_optimizer('Adam')
+@register_optimizer('AdamW')
+def _adam(cfg):
+    betas = tuple(cfg.pop('betas', (0.9, 0.999)))
+    return optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                               eps=cfg.pop('eps', 1e-8))
+
+
+@register_optimizer('RMSprop')
+def _rmsprop(cfg):
+    return optax.scale_by_rms(decay=cfg.pop('alpha', 0.99),
+                              eps=cfg.pop('eps', 1e-8))
+
+
 def build_optimizer(optimizer_cfg, lr_schedule, params, frozen_prefixes=(),
                     grad_clip=None):
     """optimizer_cfg e.g. dict(type='SGD', lr=0.02, momentum=0.9,
-    weight_decay=0.0001) (ref: schedules/schedule_1x.py:2)."""
+    weight_decay=0.0001, paramwise_cfg=dict(norm_decay_mult=0))
+    (ref: schedules/schedule_1x.py:2 +
+    core/optimizer/default_constructor.py)."""
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop('type', 'SGD')
     cfg.pop('lr', None)
+    paramwise_cfg = cfg.pop('paramwise_cfg', None)
     trainable_mask, decay_mask = make_masks(params, frozen_prefixes)
+    lr_mults, wd_mults = paramwise_multipliers(params, paramwise_cfg)
 
     txs = []
     if grad_clip:
         txs.append(optax.clip_by_global_norm(grad_clip['max_norm']))
     wd = cfg.pop('weight_decay', 0.0)
     if wd:
-        txs.append(optax.add_decayed_weights(wd, mask=decay_mask))
-    if opt_type == 'SGD':
-        momentum = cfg.pop('momentum', 0.0)
-        txs.append(optax.trace(decay=momentum, nesterov=cfg.pop(
-            'nesterov', False)))
-    elif opt_type in ('Adam', 'AdamW'):
-        betas = tuple(cfg.pop('betas', (0.9, 0.999)))
-        txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
-    else:
+        if paramwise_cfg:
+            # per-leaf decay multiplier
+            def add_wd(updates, state, p=None):
+                return jax.tree_util.tree_map(
+                    lambda u, pp, m, dm: u + wd * dm * pp if m else u,
+                    updates, p, decay_mask, wd_mults), state
+            txs.append(optax.GradientTransformation(
+                lambda p: optax.EmptyState(), add_wd))
+        else:
+            txs.append(optax.add_decayed_weights(wd, mask=decay_mask))
+    if opt_type not in OPTIMIZERS:
         raise KeyError(f'unsupported optimizer {opt_type}')
+    txs.append(OPTIMIZERS[opt_type](cfg))
+    if paramwise_cfg:
+        def scale_lr(updates, state, p=None):
+            return jax.tree_util.tree_map(
+                lambda u, m: u * m, updates, lr_mults), state
+        txs.append(optax.GradientTransformation(
+            lambda p: optax.EmptyState(), scale_lr))
     txs.append(optax.scale_by_schedule(lambda it: -lr_schedule(it)))
     tx = optax.chain(*txs)
     base_init, base_update = tx.init, tx.update

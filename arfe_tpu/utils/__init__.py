@@ -7,3 +7,5 @@ __all__ = ['save_checkpoint', 'load_checkpoint', 'publish_model',
 
 from .profiling import profile_time, trace  # noqa: E402,F401
 __all__ += ['profile_time', 'trace']
+from .visualize import visualize_attention  # noqa: E402,F401
+__all__ += ['visualize_attention']

@@ -1,0 +1,419 @@
+"""Whole-model numerical parity: Faster R-CNN inference vs an independent
+torch mirror (the VERDICT's ±0.1-AP north-star mitigation: no reference
+checkpoints are downloadable in this environment, so an independently
+written torch implementation with SHARED random weights is the oracle).
+
+The torch side reimplements ResNet-18+FPN+RPN+RoIAlign+BBoxHead inference
+from the algorithm specs (delta decode, greedy NMS, detectron2-aligned
+RoIAlign with the fixed 2x2 sampling grid) using torch/numpy only, then
+weights are transferred through convert.torch2jax and detections compared.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from arfe_tpu.convert import params_to_jax, state_dict_to_params
+
+torch.manual_seed(0)
+
+NUM_CLASSES = 4
+STRIDES = (4, 8, 16, 32, 64)
+ANCHOR_SCALE = 8
+RPN_NMS_PRE = 300
+RPN_NMS_POST = 120
+RPN_NMS_THR = 0.7
+RCNN_SCORE_THR = 0.05
+RCNN_NMS_THR = 0.5
+MAX_PER_IMG = 50
+
+
+# ---------------------------------------------------------------------------
+# torch mirror
+# ---------------------------------------------------------------------------
+
+
+class TBasicBlock(tnn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.relu = tnn.ReLU()
+        self.has_ds = stride != 1 or cin != cout
+        if self.has_ds:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = self.downsample(x) if self.has_ds else x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + idt)
+
+
+class TBackbone(tnn.Module):
+    """torchvision-layout ResNet-18."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        chans = [64, 128, 256, 512]
+        cin = 64
+        for i, c in enumerate(chans):
+            blocks = [TBasicBlock(cin, c, stride=1 if i == 0 else 2),
+                      TBasicBlock(c, c)]
+            setattr(self, f'layer{i + 1}', tnn.Sequential(*blocks))
+            cin = c
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for i in range(4):
+            x = getattr(self, f'layer{i + 1}')(x)
+            outs.append(x)
+        return outs
+
+
+class TConvHolder(tnn.Module):
+    def __init__(self, conv):
+        super().__init__()
+        self.conv = conv
+
+
+class TFPN(tnn.Module):
+    def __init__(self, in_chans, out=64):
+        super().__init__()
+        self.lateral_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(c, out, 1)) for c in in_chans])
+        self.fpn_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(out, out, 3, padding=1))
+             for _ in in_chans])
+
+    def forward(self, feats):
+        lats = [m.conv(x) for m, x in zip(self.lateral_convs, feats)]
+        for i in range(len(lats) - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + F.interpolate(
+                lats[i], size=lats[i - 1].shape[2:], mode='nearest')
+        outs = [m.conv(x) for m, x in zip(self.fpn_convs, lats)]
+        outs.append(F.max_pool2d(outs[-1], 1, stride=2))
+        return outs
+
+
+class TRPNHead(tnn.Module):
+    def __init__(self, c=64, num_anchors=3):
+        super().__init__()
+        self.rpn_conv = tnn.Conv2d(c, c, 3, padding=1)
+        self.rpn_cls = tnn.Conv2d(c, num_anchors, 1)
+        self.rpn_reg = tnn.Conv2d(c, num_anchors * 4, 1)
+
+    def forward(self, feats):
+        outs = []
+        for x in feats:
+            y = F.relu(self.rpn_conv(x))
+            outs.append((self.rpn_cls(y), self.rpn_reg(y)))
+        return outs
+
+
+class TBBoxHead(tnn.Module):
+    def __init__(self, c=64, fc=128, num_classes=NUM_CLASSES):
+        super().__init__()
+        self.shared_fcs = tnn.ModuleList([tnn.Linear(c * 49, fc),
+                                          tnn.Linear(fc, fc)])
+        self.fc_cls = tnn.Linear(fc, num_classes + 1)
+        self.fc_reg = tnn.Linear(fc, num_classes * 4)
+
+    def forward(self, x):
+        x = x.flatten(1)
+        for m in self.shared_fcs:
+            x = F.relu(m(x))
+        return self.fc_cls(x), self.fc_reg(x)
+
+
+class TFasterRCNN(tnn.Module):
+    """Module names mirror the arfe_tpu param tree for the converter."""
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = TBackbone()
+
+        class Neck(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                setattr(self, '0', TFPN([64, 128, 256, 512], 64))
+
+            def forward(self, feats):
+                return getattr(self, '0')(feats)
+
+        self.neck = Neck()
+        self.rpn_head = TRPNHead(64, 3)
+
+        class RoIHead(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.bbox_head = TBBoxHead()
+
+        self.roi_head = RoIHead()
+
+
+# ---------------------------------------------------------------------------
+# first-principles decode / NMS / RoIAlign in numpy+torch
+# ---------------------------------------------------------------------------
+
+
+def np_anchors(h, w, stride):
+    """mmdet-2.0 anchors: scale 8, ratios (.5, 1, 2), centered at 0."""
+    base = []
+    for r in (0.5, 1.0, 2.0):
+        bw = stride * ANCHOR_SCALE * math.sqrt(1 / r)
+        bh = stride * ANCHOR_SCALE * math.sqrt(r)
+        base.append([-bw / 2, -bh / 2, bw / 2, bh / 2])
+    base = np.array(base)
+    sx = np.arange(w) * stride
+    sy = np.arange(h) * stride
+    shift = np.stack([np.tile(sx, h), np.repeat(sy, w),
+                      np.tile(sx, h), np.repeat(sy, w)], -1)
+    return (shift[:, None, :] + base[None]).reshape(-1, 4)
+
+
+def np_delta2bbox(anchors, deltas, stds, max_shape):
+    means = np.zeros(4)
+    stds = np.asarray(stds)
+    d = deltas.reshape(-1, 4) * stds + means
+    max_ratio = abs(math.log(16 / 1000))
+    dw = np.clip(d[:, 2], -max_ratio, max_ratio)
+    dh = np.clip(d[:, 3], -max_ratio, max_ratio)
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = (anchors[:, 0] + anchors[:, 2]) / 2
+    ay = (anchors[:, 1] + anchors[:, 3]) / 2
+    gw = aw * np.exp(dw)
+    gh = ah * np.exp(dh)
+    gx = ax + aw * d[:, 0]
+    gy = ay + ah * d[:, 1]
+    boxes = np.stack([gx - gw / 2, gy - gh / 2, gx + gw / 2, gy + gh / 2],
+                     -1)
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, max_shape[1])
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, max_shape[0])
+    return boxes
+
+
+def np_nms(boxes, scores, thr):
+    order = np.argsort(-scores, kind='stable')
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        iou = inter / np.maximum(ai + a - inter, 1e-10)
+        suppressed |= iou > thr
+    return np.array(keep, int)
+
+
+def t_roi_align(feat, rois, stride, out=7, sn=2):
+    """Detectron2-aligned RoIAlign, fixed 2x2 grid, torch (N,C,H,W)."""
+    c, h, w = feat.shape[1:]
+    res = torch.zeros((len(rois), c, out, out))
+    for ri, roi in enumerate(rois):
+        x1, y1, x2, y2 = [v / stride - 0.5 for v in roi]
+        bw = (x2 - x1) / out
+        bh = (y2 - y1) / out
+        acc = torch.zeros((c, out, out))
+        for sy in range(sn):
+            for sx in range(sn):
+                ys = y1 + (torch.arange(out) + (sy + 0.5) / sn) * bh
+                xs = x1 + (torch.arange(out) + (sx + 0.5) / sn) * bw
+                vy = (ys > -1) & (ys < h)
+                vx = (xs > -1) & (xs < w)
+                ysc = ys.clamp(0, h - 1)
+                xsc = xs.clamp(0, w - 1)
+                y0 = ysc.floor().long()
+                x0 = xsc.floor().long()
+                y1i = (y0 + 1).clamp(max=h - 1)
+                x1i = (x0 + 1).clamp(max=w - 1)
+                wy1 = ysc - y0
+                wx1 = xsc - x0
+                f = feat[0]
+                val = (
+                    f[:, y0][:, :, x0] * ((1 - wy1)[:, None]
+                                          * (1 - wx1)[None, :])
+                    + f[:, y0][:, :, x1i] * ((1 - wy1)[:, None]
+                                             * wx1[None, :])
+                    + f[:, y1i][:, :, x0] * (wy1[:, None]
+                                             * (1 - wx1)[None, :])
+                    + f[:, y1i][:, :, x1i] * (wy1[:, None] * wx1[None, :]))
+                val = val * (vy.float()[:, None] * vx.float()[None, :])
+                acc += val
+        res[ri] = acc / (sn * sn)
+    return res
+
+
+def torch_inference(model, img, img_shape):
+    feats = model.neck(model.backbone(img))
+    rpn_outs = model.rpn_head(feats)
+    all_props, all_scores, all_lvls = [], [], []
+    for lvl, (cls, reg) in enumerate(rpn_outs):
+        h, w = cls.shape[2:]
+        anchors = np_anchors(h, w, STRIDES[lvl])
+        scores = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(-1).numpy()
+        deltas = reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+        if len(scores) > RPN_NMS_PRE:
+            top = np.argsort(-scores, kind='stable')[:RPN_NMS_PRE]
+            scores, deltas, anchors = scores[top], deltas[top], anchors[top]
+        boxes = np_delta2bbox(anchors, deltas, [1, 1, 1, 1], img_shape)
+        all_props.append(boxes)
+        all_scores.append(scores)
+        all_lvls.append(np.full(len(scores), lvl))
+    boxes = np.concatenate(all_props)
+    scores = np.concatenate(all_scores)
+    lvls = np.concatenate(all_lvls)
+    # level-keyed NMS via coordinate offset
+    off = lvls * (boxes.max() + 1)
+    keep = np_nms(boxes + off[:, None], scores, RPN_NMS_THR)[:RPN_NMS_POST]
+    props = boxes[keep]
+
+    # RoIAlign from mapped FPN levels
+    scale = np.sqrt((props[:, 2] - props[:, 0]) * (props[:, 3] - props[:, 1]))
+    tl = np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0, 3).astype(int)
+    roi_feats = torch.zeros((len(props), 64, 7, 7))
+    for lvl in range(4):
+        sel = np.where(tl == lvl)[0]
+        if len(sel):
+            roi_feats[sel] = t_roi_align(feats[lvl], props[sel],
+                                         STRIDES[lvl])
+    cls_logits, reg = model.roi_head.bbox_head(roi_feats)
+    probs = torch.softmax(cls_logits, -1).numpy()
+    reg = reg.numpy()
+
+    dets = []
+    for c in range(NUM_CLASSES):
+        boxes_c = np_delta2bbox(props, reg[:, c * 4:(c + 1) * 4],
+                                [0.1, 0.1, 0.2, 0.2], img_shape)
+        sc = probs[:, c]
+        m = sc > RCNN_SCORE_THR
+        if not m.any():
+            continue
+        keep = np_nms(boxes_c[m], sc[m], RCNN_NMS_THR)
+        for k in keep:
+            dets.append((sc[m][k], c, boxes_c[m][k]))
+    dets.sort(key=lambda d: -d[0])
+    return dets[:MAX_PER_IMG]
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_jax_model():
+    from arfe_tpu.models.builder import build_detector
+    cfg = dict(
+        type='FasterRCNN',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, num_outs=5)],
+        rpn_head=dict(
+            type='RPNHead', in_channels=64, feat_channels=64,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(
+                type='Shared2FCBBoxHead', in_channels=64,
+                fc_out_channels=128, roi_feat_size=7,
+                num_classes=NUM_CLASSES,
+                bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                target_stds=[0.1, 0.1, 0.2, 0.2]))))
+    test_cfg = dict(
+        rpn=dict(nms_pre=RPN_NMS_PRE, nms_post=RPN_NMS_POST,
+                 max_num=RPN_NMS_POST, nms_thr=RPN_NMS_THR,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=RCNN_SCORE_THR,
+                  nms=dict(type='nms', iou_thr=RCNN_NMS_THR),
+                  max_per_img=MAX_PER_IMG))
+    return build_detector(cfg, test_cfg=test_cfg)
+
+
+def test_faster_rcnn_e2e_matches_torch_mirror():
+    tm = TFasterRCNN()
+    # spread scores so rankings are decisive (random nets give near-ties)
+    with torch.no_grad():
+        for m in (tm.roi_head.bbox_head.fc_cls, tm.rpn_head.rpn_cls):
+            m.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+
+    h, w = 224, 320
+    img = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        t_dets = torch_inference(tm, img, (h, w))
+
+    model = build_jax_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    dets, labels, valid = model.simple_test(
+        params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray([[h, w]], jnp.float32), jnp.ones((1, 4)))
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0])
+    j_dets = [(dets[i, 4], int(labels[i]), dets[i, :4])
+              for i in range(len(dets)) if valid[i]]
+
+    assert len(j_dets) > 0, 'jax path produced no detections'
+    n_t, n_j = len(t_dets), len(j_dets)
+    assert abs(n_t - n_j) <= max(2, 0.1 * n_t), (n_t, n_j)
+
+    # score-ordered greedy matching: every confident torch det must have a
+    # jax twin with the same label, IoU>0.7, score within 1e-2
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-10)
+
+    used = set()
+    unmatched = []
+    for sc, lab, box in t_dets:
+        if sc < 0.2:   # near-threshold dets may legitimately flip
+            continue
+        found = False
+        for j, (jsc, jlab, jbox) in enumerate(j_dets):
+            if j in used or jlab != lab:
+                continue
+            if iou(box, jbox) > 0.7 and abs(jsc - sc) < 1e-2:
+                used.add(j)
+                found = True
+                break
+        if not found:
+            unmatched.append((sc, lab))
+    assert not unmatched, f'unmatched torch dets: {unmatched[:5]}'
