@@ -145,3 +145,18 @@ def show_result(img, result, class_names=None, score_thr=0.3, out_file=None):
     if out_file is not None:
         cv2.imwrite(out_file, img)
     return img
+
+
+async def async_inference_detector(detector, img):
+    """Async inference (ref: mmdet/apis/inference.py:110-135).
+
+    JAX dispatch is already asynchronous; this coroutine moves the blocking
+    host-side materialization off the event loop so concurrent requests
+    overlap (the reference concurrency-tests this with torch CUDA streams;
+    here the XLA stream plays that role).
+    """
+    import asyncio
+    import functools
+
+    fn = functools.partial(inference_detector, detector, img)
+    return await asyncio.get_event_loop().run_in_executor(None, fn)
