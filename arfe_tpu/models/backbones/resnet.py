@@ -84,7 +84,13 @@ class Bottleneck(Module):
 
     def __init__(self, inplanes, planes, stride=1, dilation=1,
                  downsample=False, style='pytorch', avg_down=False,
-                 dcn=None, plugins=None):
+                 dcn=None, plugins=None, rfp=None):
+        self.rfp = rfp
+        if rfp:
+            # DetectoRS recursive-feedback conv, zero-init
+            # (ref: resnet.py:240-249)
+            self.rfp_conv = Conv2d(rfp, planes * self.expansion, 1,
+                                   bias=True)
         if style == 'pytorch':
             conv1_stride, conv2_stride = 1, stride
         else:  # caffe
@@ -143,6 +149,9 @@ class Bottleneck(Module):
             for name, mod in self.plugins[pos]:
                 p[name] = mod.init(keys[i])
                 i += 1
+        if self.rfp:
+            p['rfp_conv'] = jax.tree_util.tree_map(
+                jnp.zeros_like, self.rfp_conv.init(keys[0]))
         return p
 
     def _plugin(self, params, pos, x):
@@ -150,7 +159,7 @@ class Bottleneck(Module):
             x = mod(params[name], x)
         return x
 
-    def __call__(self, params, x):
+    def __call__(self, params, x, rfp_feat=None):
         identity = x
         out = jax.nn.relu(self.bn1(params['bn1'],
                                    self.conv1(params['conv1'], x)))
@@ -167,7 +176,11 @@ class Bottleneck(Module):
             identity = self.ds_bn(params['downsample']['1'],
                                   self.ds_conv(params['downsample']['0'],
                                                ds_in))
-        return jax.nn.relu(out + identity)
+        out = out + identity
+        if self.rfp and rfp_feat is not None:
+            # (ref: resnet.py:340-342)
+            out = out + self.rfp_conv(params['rfp_conv'], rfp_feat)
+        return jax.nn.relu(out)
 
 
 @BACKBONES.register_module()
@@ -190,7 +203,10 @@ class ResNet(Module):
                  dcn=None, stage_with_dcn=(False, False, False, False),
                  gcb=None, stage_with_gcb=(False, False, False, False),
                  gen_attention=None, stage_with_gen_attention=((), (), (), ()),
-                 plugins=None, with_cp=False):
+                 plugins=None, with_cp=False, rfp=None,
+                 stage_with_rfp=(False, True, True, True)):
+        self.rfp = rfp
+        self.stage_with_rfp = stage_with_rfp
         if depth not in self.arch_settings:
             raise KeyError(f'invalid depth {depth} for resnet')
         block_cls, stage_blocks = self.arch_settings[depth]
@@ -248,11 +264,13 @@ class ResNet(Module):
                         cfg=dict(type='GeneralizedAttention',
                                  **gen_attention),
                         position='after_conv2'))
+                stage_rfp = rfp if (rfp and stage_with_rfp[i]) else None
                 blocks.append(block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,
                                         style=style, avg_down=avg_down,
                                         dcn=stage_dcn,
-                                        plugins=block_plugins or None)
+                                        plugins=block_plugins or None,
+                                        rfp=stage_rfp)
                               if block_cls is Bottleneck else
                               block_cls(inplanes, planes, stride=s,
                                         dilation=dilation, downsample=need_ds,
@@ -321,6 +339,30 @@ class ResNet(Module):
             lp = params[f'layer{i + 1}']
             for j, blk in enumerate(blocks):
                 x = blk(lp[str(j)], x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+    def rfp_forward(self, params, x, rfp_feats):
+        """DetectoRS recursive pass (ref: resnet.py rfp_forward): stage i
+        blocks receive rfp_feats[i] when stage_with_rfp[i]."""
+        params = self._maybe_freeze(params)
+        if self.deep_stem:
+            sp = params['stem']
+            for i in range(0, len(self.stem), 2):
+                x = self.stem[i](sp[str(i)], x)
+                x = jax.nn.relu(self.stem[i + 1](sp[str(i + 1)], x))
+        else:
+            x = jax.nn.relu(self.bn1(params['bn1'],
+                                     self.conv1(params['conv1'], x)))
+        x = max_pool2d(x, 3, stride=2, padding=1)
+        outs = []
+        for i, blocks in enumerate(self.layers):
+            lp = params[f'layer{i + 1}']
+            feat = rfp_feats[i] if self.stage_with_rfp[i] else None
+            for j, blk in enumerate(blocks):
+                x = blk(lp[str(j)], x, rfp_feat=feat) \
+                    if getattr(blk, 'rfp', None) else blk(lp[str(j)], x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

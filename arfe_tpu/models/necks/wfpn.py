@@ -520,3 +520,133 @@ class BFP(Module):
                 residual = adaptive_max_pool2d(bsf, size)
             outs.append(x + residual)
         return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNDilated(Module):
+    """AR-FPN variant with a dilated-conv pre-stage on the gathered feature
+    (ref: mmdet/models/necks/wfpn_dilated.py — present in the reference tree
+    but unregistered there; registered here for completeness)."""
+
+    def __init__(self, in_channels, num_levels, refine_level=2,
+                 num_dilated=3, conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = refine_level
+        self.dilated_convs = [
+            ConvModule(in_channels, in_channels, 3, padding=i + 1,
+                       dilation=i + 1, norm_cfg=norm_cfg, act_cfg='relu',
+                       weight_init='xavier')
+            for i in range(num_dilated)]
+        self.reduce_convs = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.reduce_convs2 = [
+            ConvModule(in_channels, 1, 3, padding=1, norm_cfg=norm_cfg,
+                       act_cfg='relu', weight_init='xavier')
+            for _ in range(num_levels)]
+        self.refine = NonLocal2D(in_channels, reduction=1, use_scale=False,
+                                 norm_cfg=norm_cfg)
+
+    def init(self, key):
+        n = len(self.dilated_convs) + 2 * self.num_levels + 1
+        keys = jax.random.split(key, n)
+        it = iter(keys)
+        return {
+            'dilated_convs': {str(i): m.init(next(it))
+                              for i, m in enumerate(self.dilated_convs)},
+            'reduce_convs': {str(i): m.init(next(it))
+                             for i, m in enumerate(self.reduce_convs)},
+            'reduce_convs2': {str(i): m.init(next(it))
+                              for i, m in enumerate(self.reduce_convs2)},
+            'refine': self.refine.init(next(it)),
+        }
+
+    def __call__(self, params, inputs):
+        assert len(inputs) == self.num_levels
+        ori_fe = _gather_levels(inputs, self.refine_level)
+        for i, m in enumerate(self.dilated_convs):
+            ori_fe = m(params['dilated_convs'][str(i)], ori_fe)
+        bsf = self.refine(params['refine'], ori_fe)
+        outs = []
+        for i, x in enumerate(inputs):
+            basic_map = jnp.tanh(self.reduce_convs[i](
+                params['reduce_convs'][str(i)], x))
+            com_map = jnp.tanh(self.reduce_convs2[i](
+                params['reduce_convs2'][str(i)], x))
+            resized = resize_nearest(bsf, x.shape[1:3])
+            outs.append(x + resized * (basic_map + com_map))
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class WFPNLargeKerne(Module):
+    """AR-FPN variant: PSP-style pooled refine + large-kernel (7x1/1x7)
+    row/col attention (ref: mmdet/models/necks/wfpn_largekerne.py —
+    unregistered upstream and non-executable as written: its forward
+    indexes an empty ``reduce_convs``; the evident C->C/4 reductions are
+    used so the 2C-channel refine conv is satisfied)."""
+
+    def __init__(self, in_channels, num_levels, refine_level=2,
+                 conv_cfg=None, norm_cfg=None):
+        self.in_channels = in_channels
+        self.num_levels = num_levels
+        self.refine_level = refine_level
+        c = in_channels
+        self.reduce_convs = [ConvModule(c, c // 4, 1, norm_cfg=norm_cfg,
+                                        act_cfg='relu',
+                                        weight_init='xavier')
+                             for _ in range(4)]
+        self.com_convs = [ConvModule(c, 1, 1, norm_cfg=norm_cfg,
+                                     act_cfg='relu', weight_init='xavier')
+                          for _ in range(num_levels)]
+        self.ver_convs = [ConvModule(1, 1, (1, 7), padding=(0, 3),
+                                     norm_cfg=norm_cfg, act_cfg='relu',
+                                     weight_init='xavier')
+                          for _ in range(num_levels)]
+        self.hor_convs = [ConvModule(1, 1, (7, 1), padding=(3, 0),
+                                     norm_cfg=norm_cfg, act_cfg='relu',
+                                     weight_init='xavier')
+                          for _ in range(num_levels)]
+        self.all_convs = [ConvModule(1, 1, 3, padding=1, norm_cfg=norm_cfg,
+                                     act_cfg='relu', weight_init='xavier')
+                          for _ in range(num_levels)]
+        self.refine = ConvModule(c * 2, c, 3, padding=1, norm_cfg=norm_cfg,
+                                 act_cfg='relu', weight_init='xavier')
+
+    def init(self, key):
+        n = 4 + 4 * self.num_levels + 1
+        keys = jax.random.split(key, n)
+        it = iter(keys)
+        p = {}
+        for g in ('reduce_convs', 'com_convs', 'ver_convs', 'hor_convs',
+                  'all_convs'):
+            p[g] = {str(i): m.init(next(it))
+                    for i, m in enumerate(getattr(self, g))}
+        p['refine'] = self.refine.init(next(it))
+        return p
+
+    def __call__(self, params, inputs):
+        from ..layers import adaptive_avg_pool2d
+        assert len(inputs) == self.num_levels
+        ori_fe = _gather_levels(inputs, self.refine_level)
+        pools = []
+        for i, s in enumerate((1, 2, 3, 6)):
+            pv = adaptive_avg_pool2d(ori_fe, (s, s))
+            pv = self.reduce_convs[i](params['reduce_convs'][str(i)], pv)
+            pools.append(resize_nearest(pv, ori_fe.shape[1:3]))
+        bsf = self.refine(params['refine'],
+                          jnp.concatenate([ori_fe] + pools, -1))
+        outs = []
+        for i, x in enumerate(inputs):
+            inp = self.com_convs[i](params['com_convs'][str(i)], x)
+            row = inp.mean(axis=2, keepdims=True)        # (B, h, 1, 1)
+            col = inp.mean(axis=1, keepdims=True)        # (B, 1, w, 1)
+            row = jnp.tanh(self.hor_convs[i](
+                params['hor_convs'][str(i)], row))
+            col = jnp.tanh(self.ver_convs[i](
+                params['ver_convs'][str(i)], col))
+            att = self.all_convs[i](params['all_convs'][str(i)], row + col)
+            outs.append(x + resize_nearest(bsf, x.shape[1:3]) * att)
+        return tuple(outs)

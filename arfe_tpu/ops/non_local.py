@@ -57,15 +57,17 @@ class NonLocal2D(Module):
         g_x = self.g(params['g'], x).reshape(n, h * w, ic)
         theta_x = self.theta(params['theta'], x).reshape(n, h * w, ic)
         phi_x = self.phi(params['phi'], x).reshape(n, h * w, ic)
-        pairwise = jnp.einsum('nqc,nkc->nqk', theta_x, phi_x,
-                              preferred_element_type=jnp.float32)
         if self.mode == 'embedded_gaussian':
-            if self.use_scale:
-                pairwise = pairwise / jnp.sqrt(float(ic))
-            pairwise = jax.nn.softmax(pairwise, axis=-1)
+            # fused Pallas attention on TPU: the (HW, HW) pairwise tile
+            # stays in VMEM (ops/pallas_attention.py); XLA path elsewhere
+            from .pallas_attention import attention_auto
+            scale = (1.0 / float(ic) ** 0.5) if self.use_scale else None
+            y = attention_auto(theta_x, phi_x, g_x, scale)
         else:  # dot_product
+            pairwise = jnp.einsum('nqc,nkc->nqk', theta_x, phi_x,
+                                  preferred_element_type=jnp.float32)
             pairwise = pairwise / float(h * w)
-        y = jnp.einsum('nqk,nkc->nqc', pairwise.astype(g_x.dtype), g_x,
-                       preferred_element_type=jnp.float32)
+            y = jnp.einsum('nqk,nkc->nqc', pairwise.astype(g_x.dtype), g_x,
+                           preferred_element_type=jnp.float32)
         y = y.reshape(n, h, w, ic).astype(x.dtype)
         return x + self.conv_out(params['conv_out'], y)

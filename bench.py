@@ -1,12 +1,14 @@
-"""Round benchmark: flagship Faster R-CNN R50 + AR-FPN inference throughput.
+"""Round benchmark: flagship Faster R-CNN R50 + AR-FPN inference throughput
+(+ bs1 p50 latency and a RetinaNet+AR-FPN secondary row).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Methodology (this machine's axon tunnel makes host-side timing async and
 meaningless — see .claude/skills/verify/SKILL.md): N model iterations run
 inside one jitted lax.fori_loop with a data-dependent carry; two loop
 lengths subtract the fixed per-dispatch tunnel cost; sync is a scalar
-materialization.
+materialization. The p50 latency is the median of repeated short-loop
+per-iter estimates at bs1.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 BASELINE.json's target is ">= 2x A100 images/sec"; mmdetection-2.0 Faster
@@ -22,20 +24,31 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 70.0  # 2x assumed A100 mmdet fp32 throughput
-BATCH = 4
+BATCH = 8
 H, W = 800, 1344
 
 
-def build():
+def build_flagship():
     from __graft_entry__ import _build_flagship
     model = _build_flagship()
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     return model, params
 
 
-def make_loop(model):
-    img_shapes = jnp.asarray([[float(H), 1333.0]] * BATCH)
-    scale_factors = jnp.ones((BATCH, 4), jnp.float32)
+def build_retinanet():
+    from arfe_tpu import Config
+    from arfe_tpu.models import build_detector
+    cfg = Config.fromfile('configs/arfe/retinanet_r50_arfpn_1x_coco.py')
+    model_cfg = dict(cfg.todict()['model'])
+    model_cfg.pop('pretrained', None)
+    model = build_detector(model_cfg, test_cfg=cfg.todict()['test_cfg'])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    return model, params
+
+
+def make_loop(model, batch):
+    img_shapes = jnp.asarray([[float(H), 1333.0]] * batch)
+    scale_factors = jnp.ones((batch, 4), jnp.float32)
 
     @jax.jit
     def loop(params, img, n_iters):
@@ -44,35 +57,62 @@ def make_loop(model):
                 params, carry, img_shapes, scale_factors, rescale=True)
             # data-dependent carry defeats loop folding; numerically ~0
             return carry + (dets.mean() * 1e-20).astype(carry.dtype)
-        # traced n_iters -> single compile serves all loop lengths
         out = jax.lax.fori_loop(0, n_iters, body, img)
         return out[0, 0, 0, 0]
 
     return loop
 
 
-def main():
-    model, params = build()
-    # bf16 compute path: layers cast fp32 master params to the input dtype
-    # per-op; detection math is fp32 behind force_fp32 boundaries
-    img = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, H, W, 3) * 0.2, jnp.bfloat16)
-
-    n_small, n_big = 2, 12
-    loop = make_loop(model)
+def measure(loop, params, img, n_small=2, n_big=12):
     float(loop(params, img, n_small))  # compile + warm
     times = {}
     for n in (n_small, n_big):
         t0 = time.time()
         float(loop(params, img, n))
         times[n] = time.time() - t0
-    per_iter = (times[n_big] - times[n_small]) / (n_big - n_small)
+    return (times[n_big] - times[n_small]) / (n_big - n_small)
+
+
+def main():
+    model, params = build_flagship()
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(BATCH, H, W, 3) * 0.2, jnp.bfloat16)
+    per_iter = measure(make_loop(model, BATCH), params, img)
     img_per_sec = BATCH / per_iter
+
+    # bs1 latency: median of repeated short-loop estimates (p50)
+    img1 = img[:1]
+    loop1 = make_loop(model, 1)
+    float(loop1(params, img1, 2))
+    lats = []
+    for _ in range(5):
+        t0 = time.time()
+        float(loop1(params, img1, 2))
+        t1 = time.time()
+        t2 = time.time()
+        float(loop1(params, img1, 7))
+        t3 = time.time()
+        lats.append(((t3 - t2) - (t1 - t0)) / 5)
+    p50_ms = float(np.median(lats) * 1000)
+
+    # secondary row: RetinaNet + AR-FPN throughput at the same batch
+    retina_ips = None
+    try:
+        rmodel, rparams = build_retinanet()
+        r_iter = measure(make_loop(rmodel, BATCH), rparams, img)
+        retina_ips = round(BATCH / r_iter, 2)
+    except Exception as e:  # secondary metric must not break the bench
+        retina_ips = f'failed: {e!r:.80}'
+
     print(json.dumps({
         'metric': 'faster_rcnn_r50_arfpn_inference_throughput',
         'value': round(img_per_sec, 2),
-        'unit': 'images/sec/chip (800x1344, bs4)',
+        'unit': f'images/sec/chip (800x1344, bs{BATCH})',
         'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        'extra': {
+            'p50_latency_ms_bs1': round(p50_ms, 2),
+            'retinanet_r50_arfpn_img_per_sec': retina_ips,
+        },
     }))
 
 
