@@ -35,6 +35,15 @@ def _run_validation(model, params, val_loader, val_dataset, eval_cfg, mesh):
     return val_dataset.evaluate(results, metric=metric, **kwargs)
 
 
+
+def _append_json_log(work_dir, entry):
+    """mmcv-style json-lines training log (ref: mmcv TextLoggerHook json
+    output; consumed by tools/analyze_logs.py)."""
+    import json
+    with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
+        f.write(json.dumps(entry) + '\n')
+
+
 def train_detector(model, dataset, cfg, validate=False, logger=None,
                    params=None, timestamp=None):
     """Run the full training loop from a config.
@@ -141,7 +150,10 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
                 scalars = {k: float(v) for k, v in log_vars.items()
                            if np.ndim(v) == 0}
                 scalars['lr'] = float(sched(global_it))
-                history.append(dict(epoch=epoch + 1, iter=it + 1, **scalars))
+                entry = dict(mode='train', epoch=epoch + 1,
+                             iter=it + 1, **scalars)
+                history.append(entry)
+                _append_json_log(work_dir, entry)
                 msg = ' '.join(f'{k}: {v:.4f}' for k, v in scalars.items())
                 log(f'Epoch [{epoch + 1}][{it + 1}/{iters_per_epoch}] {msg}')
                 if gt_assign_counts is not None:
@@ -158,9 +170,11 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
             msg = ' '.join(f'{k}: {v:.4f}' if isinstance(v, float)
                            else f'{k}: {v}' for k, v in metrics.items())
             log(f'Epoch [{epoch + 1}] val: {msg}')
-            history.append(dict(epoch=epoch + 1, mode='val',
-                                **{k: v for k, v in metrics.items()
-                                   if isinstance(v, (int, float))}))
+            entry = dict(epoch=epoch + 1, mode='val',
+                         **{k: v for k, v in metrics.items()
+                            if isinstance(v, (int, float))})
+            history.append(entry)
+            _append_json_log(work_dir, entry)
         if (epoch + 1) % ckpt_interval == 0:
             meta = dict(epoch=epoch + 1, iter=global_it,
                         CLASSES=getattr(dataset, 'CLASSES', None),

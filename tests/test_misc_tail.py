@@ -125,3 +125,24 @@ def test_visualize_attention(tmp_path):
     assert len(outs) == 1
     import os
     assert os.path.exists(outs[0])
+
+
+def test_train_json_log_roundtrip(tmp_path):
+    """_append_json_log writes json-lines that tools/analyze_logs parses."""
+    from arfe_tpu.apis.train import _append_json_log
+    import json as _json
+    d = str(tmp_path)
+    _append_json_log(d, dict(epoch=1, iter=10, mode='train', loss=1.5,
+                             lr=0.02, time=0.3))
+    _append_json_log(d, dict(epoch=1, mode='val', bbox_mAP=0.31))
+    lines = open(tmp_path / 'train.log.json').read().strip().split('\n')
+    assert len(lines) == 2
+    assert _json.loads(lines[0])['loss'] == 1.5
+    # analyze_logs' loader accepts the file
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'analyze_logs', 'tools/analyze_logs.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    entries = mod.load_log(str(tmp_path / 'train.log.json'))
+    assert entries[0]['epoch'] == 1 and entries[1]['mode'] == 'val'
