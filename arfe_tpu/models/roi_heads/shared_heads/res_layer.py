@@ -18,12 +18,12 @@ from ...layers import Module
 class ResLayer(Module):
     def __init__(self, depth, stage=3, stride=2, dilation=1,
                  style='pytorch', norm_cfg=None, norm_eval=True,
-                 with_cp=False, dcn=None):
+                 with_cp=False, dcn=None, base_channels=64):
         block_cls, stage_blocks = ResNet.arch_settings[depth]
         self.stage = stage
         self.norm_eval = norm_eval
-        planes = 64 * 2 ** stage
-        inplanes = 64 * 2 ** (stage - 1) * block_cls.expansion
+        planes = base_channels * 2 ** stage
+        inplanes = base_channels * 2 ** (stage - 1) * block_cls.expansion
         self.out_channels = planes * block_cls.expansion
         blocks = []
         for j in range(stage_blocks[stage]):

@@ -1,0 +1,4 @@
+# 20e schedule (ref: configs/_base_/schedules/schedule_20e.py)
+_base_ = './schedule_1x.py'
+lr_config = dict(step=[16, 19])
+total_epochs = 20

@@ -1,6 +1,5 @@
-# RetinaNet R50-FPN 1x (ref: configs/retinanet/...1x_coco.py)
 _base_ = [
-    '../_base_/models/retinanet_r50_fpn.py',
+    '../_base_/models/cascade_rcnn_r50_fpn.py',
     '../_base_/datasets/coco_detection.py',
     '../_base_/schedules/schedule_1x.py', '../_base_/default_runtime.py'
 ]

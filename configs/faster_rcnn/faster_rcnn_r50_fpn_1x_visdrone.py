@@ -1,6 +1,5 @@
-# Faster R-CNN R50-FPN 1x (ref: configs/faster_rcnn/...1x_coco.py)
 _base_ = [
     '../_base_/models/faster_rcnn_r50_fpn.py',
-    '../_base_/datasets/coco_detection.py',
+    '../_base_/datasets/visdrone_detection.py',
     '../_base_/schedules/schedule_1x.py', '../_base_/default_runtime.py'
 ]

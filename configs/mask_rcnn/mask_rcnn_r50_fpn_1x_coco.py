@@ -1,0 +1,6 @@
+# Mask R-CNN R50-FPN 1x (ref: configs/mask_rcnn/...1x_coco.py)
+_base_ = [
+    '../_base_/models/mask_rcnn_r50_fpn.py',
+    '../_base_/datasets/coco_instance.py',
+    '../_base_/schedules/schedule_1x.py', '../_base_/default_runtime.py'
+]

@@ -1,0 +1,9 @@
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    neck=[
+        dict(
+            type='FPNCBAM',
+            in_channels=[256, 512, 1024, 2048],
+            out_channels=256,
+            num_outs=5)],
+    roi_head=dict(bbox_head=dict(type='MultiRoIsBBoxHead')))

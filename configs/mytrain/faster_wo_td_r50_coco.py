@@ -1,4 +1,4 @@
-# Faster R-CNN R50-FPN 1x (ref: configs/faster_rcnn/...1x_coco.py)
+# identical to the baseline in the reference (the no-top-down neck was selected by hand-editing _base_; see FPNBU for the wired variant)
 _base_ = [
     '../_base_/models/faster_rcnn_r50_fpn.py',
     '../_base_/datasets/coco_detection.py',
