@@ -13,6 +13,26 @@ import numpy as np
 from ..core.bbox.transforms import bbox2result
 
 
+
+def encode_mask_results(mask_results):
+    """Encode per-class binary mask lists to uncompressed COCO RLE
+    (ref: mmdet/apis/test.py encode_mask_results via pycocotools;
+    here self-contained, see core/mask/rle.py). Accepts the (bbox, segm)
+    tuples produced by single/multi_device_test and returns the same
+    structure with each mask replaced by an RLE dict."""
+    from ..core.mask.rle import mask_to_rle
+    encoded = []
+    for res in mask_results:
+        if not isinstance(res, tuple):
+            encoded.append(res)
+            continue
+        det, seg = res
+        encoded.append((det, [[m if isinstance(m, dict)
+                               else mask_to_rle(np.asarray(m))
+                               for m in cls_masks] for cls_masks in seg]))
+    return encoded
+
+
 def single_device_test(model, params, data_loader, show_progress=True):
     """(ref: apis/test.py:37-60 single_gpu_test). Returns the reference's
     result format: per image, list of per-class (n, 5) arrays."""

@@ -52,11 +52,12 @@ class COCOEvaluator:
 
     def __init__(self, coco_gt, iou_type='bbox', use_cats=True,
                  max_dets=MAX_DETS, area_rngs=None, iou_thrs=None):
-        assert iou_type in ('bbox', 'proposal')
+        assert iou_type in ('bbox', 'proposal', 'segm')
+        self.iou_type = iou_type
         self.iou_thrs = np.asarray(iou_thrs) if iou_thrs is not None \
             else IOU_THRS
         self.coco_gt = coco_gt
-        self.use_cats = use_cats and iou_type == 'bbox'
+        self.use_cats = use_cats and iou_type != 'proposal'
         self.max_dets = tuple(max_dets)
         self.area_rngs = area_rngs or AREA_RNGS
         self.img_ids = coco_gt.getImgIds()
@@ -76,7 +77,18 @@ class COCOEvaluator:
                 dts.setdefault(key, []).append(ann)
         return gts, dts
 
-    def _evaluate_img(self, gt_anns, dt_anns, area_rng, max_det):
+    def _ann_ious(self, dt_anns, gt_anns, iid, iscrowd):
+        if self.iou_type != 'segm':
+            d_boxes = np.array([d['bbox'] for d in dt_anns]).reshape(-1, 4)
+            g_boxes = np.array([g['bbox'] for g in gt_anns]).reshape(-1, 4)
+            return _iou_xywh(d_boxes, g_boxes, iscrowd)
+        from ..mask.rle import ann_to_mask, mask_iou
+        img = self.coco_gt.imgs[iid]
+        h, w = img['height'], img['width']
+        return mask_iou([ann_to_mask(d, h, w) for d in dt_anns],
+                        [ann_to_mask(g, h, w) for g in gt_anns], iscrowd)
+
+    def _evaluate_img(self, gt_anns, dt_anns, area_rng, max_det, iid):
         """Greedy matching for one (img, cat) — pycocotools evaluateImg."""
         gt_ignore = np.array([
             bool(g.get('ignore', 0)) or bool(g.get('iscrowd', 0))
@@ -92,9 +104,7 @@ class COCOEvaluator:
         d_order = np.argsort(-scores, kind='mergesort')[:max_det]
         dt_anns = [dt_anns[i] for i in d_order]
 
-        d_boxes = np.array([d['bbox'] for d in dt_anns]).reshape(-1, 4)
-        g_boxes = np.array([g['bbox'] for g in gt_anns]).reshape(-1, 4)
-        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+        ious = self._ann_ious(dt_anns, gt_anns, iid, iscrowd)
 
         nd, ng = len(dt_anns), len(gt_anns)
         t = len(self.iou_thrs)
@@ -122,7 +132,8 @@ class COCOEvaluator:
                 dt_matched[ti, di] = best_g + 1
                 gt_matched[ti, best_g] = di + 1
         # unmatched dets outside area range are ignored
-        d_areas = d_boxes[:, 2] * d_boxes[:, 3]
+        d_areas = np.array([d.get('area', d['bbox'][2] * d['bbox'][3])
+                            for d in dt_anns])
         out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
         dt_ignore = dt_ignore | (out_of_rng[None, :] & (dt_matched == 0))
         return dict(
@@ -155,7 +166,8 @@ class COCOEvaluator:
                     d = dts.get((iid, cid), [])
                     if not g and not d:
                         continue
-                    evals.append(self._evaluate_img(g, d, arng, max_det_top))
+                    evals.append(
+                        self._evaluate_img(g, d, arng, max_det_top, iid))
                 if not evals:
                     continue
                 for mi, max_det in enumerate(self.max_dets):

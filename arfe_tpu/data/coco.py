@@ -111,6 +111,8 @@ class CocoDataset(CustomDataset):
         json_results = []
         for idx, result in enumerate(results):
             img_id = self.img_ids[idx]
+            if isinstance(result, tuple):  # (bbox, segm) mask models
+                result = result[0]
             for label, bboxes in enumerate(result):
                 for bbox in bboxes:
                     x1, y1, x2, y2, score = bbox[:5].tolist()
@@ -118,6 +120,31 @@ class CocoDataset(CustomDataset):
                         image_id=img_id,
                         bbox=[x1, y1, x2 - x1, y2 - y1],
                         score=float(score),
+                        category_id=self.cat_ids[label]))
+        return json_results
+
+    def _segm2json(self, results):
+        """(bbox, segm) results -> COCO segm json dicts with
+        uncompressed RLE (ref: coco.py _segm2json; pycocotools-free)."""
+        from ..core.mask.rle import mask_to_rle
+        json_results = []
+        for idx, result in enumerate(results):
+            img_id = self.img_ids[idx]
+            if not isinstance(result, tuple):
+                raise ValueError('segm metric needs (bbox, segm) results')
+            det, seg = result
+            for label, bboxes in enumerate(det):
+                segms = seg[label]
+                for i, bbox in enumerate(bboxes):
+                    if i >= len(segms):
+                        break
+                    rle = segms[i]
+                    if not isinstance(rle, dict):
+                        rle = mask_to_rle(np.asarray(rle))
+                    json_results.append(dict(
+                        image_id=img_id,
+                        segmentation=rle,
+                        score=float(bbox[4]),
                         category_id=self.cat_ids[label]))
         return json_results
 
@@ -139,7 +166,7 @@ class CocoDataset(CustomDataset):
         metrics = metric if isinstance(metric, list) else [metric]
         eval_results = {}
         for m in metrics:
-            if m not in ('bbox', 'proposal', 'proposal_fast'):
+            if m not in ('bbox', 'segm', 'proposal', 'proposal_fast'):
                 raise KeyError(f'metric {m} is not supported')
         json_results = self._det2json(results)
         coco_dt = self.coco.loadRes(json_results) if json_results \
@@ -152,6 +179,18 @@ class CocoDataset(CustomDataset):
             stats = ev.evaluate(coco_dt)['stats']
             for k in ('AP', 'AP50', 'AP75', 'APs', 'APm', 'APl'):
                 eval_results[f'bbox_m{k}' if k == 'AP' else f'bbox_{k}'] = \
+                    stats[k]
+        if 'segm' in metrics:
+            segm_json = self._segm2json(results)
+            segm_dt = self.coco.loadRes(segm_json) if segm_json \
+                else COCO.from_dict({'images': [], 'annotations': [],
+                                     'categories': []})
+            ev = COCOEvaluator(self.coco, iou_type='segm',
+                               iou_thrs=iou_thrs)
+            ev.img_ids = self.img_ids
+            stats = ev.evaluate(segm_dt)['stats']
+            for k in ('AP', 'AP50', 'AP75', 'APs', 'APm', 'APl'):
+                eval_results[f'segm_m{k}' if k == 'AP' else f'segm_{k}'] = \
                     stats[k]
         if 'proposal' in metrics or 'proposal_fast' in metrics:
             from ..core.evaluation import eval_recalls

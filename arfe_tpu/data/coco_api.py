@@ -121,6 +121,13 @@ class COCO:
         for i, det in enumerate(results):
             ann = dict(det)
             ann['id'] = i + 1
+            if 'segmentation' in ann and isinstance(
+                    ann['segmentation'], dict):
+                from ..core.mask.rle import rle_area, rle_to_bbox
+                if 'area' not in ann:
+                    ann['area'] = rle_area(ann['segmentation'])
+                if 'bbox' not in ann:
+                    ann['bbox'] = rle_to_bbox(ann['segmentation'])
             if 'bbox' in ann and 'area' not in ann:
                 x, y, w, h = ann['bbox']
                 ann['area'] = w * h
