@@ -120,8 +120,10 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
     work_dir = cfg.get('work_dir', './work_dirs/default')
     os.makedirs(work_dir, exist_ok=True)
     log_interval = (cfg.todict().get('log_config') or {}).get('interval', 50)
-    ckpt_interval = (cfg.todict().get('checkpoint_config')
-                     or {}).get('interval', 1)
+    ckpt_cfg = cfg.todict().get('checkpoint_config') or {}
+    ckpt_interval = ckpt_cfg.get('interval', 1)
+    ckpt_backend = ckpt_cfg.get('backend', 'pickle')
+    ckpt_async = ckpt_cfg.get('async_save', False)
     history = []
     key = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
     global_it = start_epoch * iters_per_epoch
@@ -179,13 +181,18 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
             meta = dict(epoch=epoch + 1, iter=global_it,
                         CLASSES=getattr(dataset, 'CLASSES', None),
                         config=cfg.text)
-            path = os.path.join(work_dir, f'epoch_{epoch + 1}.pkl')
-            save_checkpoint(path, params, opt_state, meta)
-            latest = os.path.join(work_dir, 'latest.pkl')
+            ext = '.pkl' if ckpt_backend == 'pickle' else ''
+            path = os.path.join(work_dir, f'epoch_{epoch + 1}{ext}')
+            save_checkpoint(path, params, opt_state, meta,
+                            backend=ckpt_backend, async_save=ckpt_async)
+            latest = os.path.join(work_dir, f'latest{ext}')
             try:
                 if os.path.lexists(latest):
                     os.remove(latest)
                 os.symlink(os.path.basename(path), latest)
             except OSError:
                 pass
+    if ckpt_async:
+        from ..utils.checkpoint import wait_for_checkpoints
+        wait_for_checkpoints()
     return params, opt_state, history

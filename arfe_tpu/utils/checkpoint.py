@@ -23,9 +23,53 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(filename, params, optimizer_state=None, meta=None):
+_ASYNC_CKPTR = None
+
+
+def _orbax_checkpointer(async_save):
+    """Lazy orbax checkpointer; the async one is shared so in-flight
+    saves are awaited before the next save starts (orbax semantics)."""
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+    if not async_save:
+        return ocp.PyTreeCheckpointer()
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async orbax save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(filename, params, optimizer_state=None, meta=None,
+                    backend='pickle', async_save=False):
+    """Save a checkpoint.
+
+    backend='pickle' writes the native single-file format; 'orbax' writes
+    an orbax directory (the idiomatic TPU format — SURVEY.md §5.3/§5.4:
+    frequent async checkpointing + restart-from-latest), with
+    ``async_save=True`` committing in a background thread so the train
+    loop never blocks on IO. Call :func:`wait_for_checkpoints` (the train
+    loop does) before exiting.
+    """
     meta = dict(meta or {})
     meta.setdefault('arfe_tpu_version', __version__)
+    if backend == 'orbax':
+        path = os.path.abspath(filename)
+        ckpt = {'state_dict': _to_numpy_tree(params), 'meta': meta}
+        if optimizer_state is not None:
+            ckpt['optimizer'] = _to_numpy_tree(optimizer_state)
+        ckptr = _orbax_checkpointer(async_save)
+        if async_save:
+            ckptr.wait_until_finished()
+        import shutil
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        ckptr.save(path, ckpt)
+        return path
     ckpt = {'meta': meta, 'state_dict': _to_numpy_tree(params)}
     if optimizer_state is not None:
         ckpt['optimizer'] = _to_numpy_tree(optimizer_state)
@@ -38,13 +82,18 @@ def save_checkpoint(filename, params, optimizer_state=None, meta=None):
 
 def load_checkpoint(filename, to_jax=True):
     """Returns (params, meta, optimizer_state_or_None). ``.pth`` files go
-    through the torch converter."""
+    through the torch converter; orbax directories restore via orbax."""
     if filename.endswith('.pth'):
         from ..convert import load_torch_checkpoint
         params, meta = load_torch_checkpoint(filename)
         return params, meta, None
-    with open(filename, 'rb') as f:
-        ckpt = pickle.load(f)
+    if os.path.isdir(filename):
+        import orbax.checkpoint as ocp
+        wait_for_checkpoints()
+        ckpt = ocp.PyTreeCheckpointer().restore(os.path.abspath(filename))
+    else:
+        with open(filename, 'rb') as f:
+            ckpt = pickle.load(f)
     params = ckpt['state_dict']
     if to_jax:
         import jax.numpy as jnp

@@ -146,3 +146,22 @@ def test_train_json_log_roundtrip(tmp_path):
     spec.loader.exec_module(mod)
     entries = mod.load_log(str(tmp_path / 'train.log.json'))
     assert entries[0]['epoch'] == 1 and entries[1]['mode'] == 'val'
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax directory checkpoints (sync + async) round-trip params,
+    optimizer state, and meta through the standard load_checkpoint."""
+    import jax.numpy as jnp
+    from arfe_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                           wait_for_checkpoints)
+    params = {'m': {'w': jnp.arange(6.0).reshape(2, 3)}}
+    p = save_checkpoint(str(tmp_path / 'ck'), params, {'mu': params},
+                        {'epoch': 2}, backend='orbax')
+    pr, meta, opt = load_checkpoint(p)
+    assert meta['epoch'] == 2
+    assert float(pr['m']['w'][1, 2]) == 5.0 and opt is not None
+    p2 = save_checkpoint(str(tmp_path / 'ck2'), params, None,
+                         {'epoch': 3}, backend='orbax', async_save=True)
+    wait_for_checkpoints()
+    _, meta2, opt2 = load_checkpoint(p2)
+    assert meta2['epoch'] == 3 and opt2 is None
