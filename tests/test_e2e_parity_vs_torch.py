@@ -171,12 +171,12 @@ class TFasterRCNN(tnn.Module):
 # ---------------------------------------------------------------------------
 
 
-def np_anchors(h, w, stride):
-    """mmdet-2.0 anchors: scale 8, ratios (.5, 1, 2), centered at 0."""
+def np_anchors(h, w, stride, scale=ANCHOR_SCALE):
+    """mmdet-2.0 anchors: ratios (.5, 1, 2), centered at 0."""
     base = []
     for r in (0.5, 1.0, 2.0):
-        bw = stride * ANCHOR_SCALE * math.sqrt(1 / r)
-        bh = stride * ANCHOR_SCALE * math.sqrt(r)
+        bw = stride * scale * math.sqrt(1 / r)
+        bh = stride * scale * math.sqrt(r)
         base.append([-bw / 2, -bh / 2, bw / 2, bh / 2])
     base = np.array(base)
     sx = np.arange(w) * stride
@@ -416,4 +416,175 @@ def test_faster_rcnn_e2e_matches_torch_mirror():
                 break
         if not found:
             unmatched.append((sc, lab))
+    assert not unmatched, f'unmatched torch dets: {unmatched[:5]}'
+
+
+# ---------------------------------------------------------------------------
+# RetinaNet (single-stage decode path) vs torch mirror
+# ---------------------------------------------------------------------------
+
+R_STRIDES = (8, 16, 32, 64, 128)
+R_SCALE = 4  # octave_base_scale=4, scales_per_octave=1
+
+
+class TRetinaFPN(tnn.Module):
+    """start_level=1, add_extra_convs='on_input', num_outs=5 (P7 without
+    relu — FPN default relu_before_extra_convs=False)."""
+
+    def __init__(self, in_chans=(128, 256, 512), out=64):
+        super().__init__()
+        self.lateral_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(c, out, 1)) for c in in_chans])
+        self.fpn_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(out, out, 3, padding=1))
+             for _ in in_chans]
+            + [TConvHolder(tnn.Conv2d(in_chans[-1], out, 3, stride=2,
+                                      padding=1)),
+               TConvHolder(tnn.Conv2d(out, out, 3, stride=2, padding=1))])
+
+    def forward(self, feats):
+        c3, c4, c5 = feats[1], feats[2], feats[3]
+        lats = [m.conv(x) for m, x in
+                zip(self.lateral_convs, (c3, c4, c5))]
+        for i in range(2, 0, -1):
+            lats[i - 1] = lats[i - 1] + F.interpolate(
+                lats[i], size=lats[i - 1].shape[2:], mode='nearest')
+        outs = [self.fpn_convs[i].conv(lats[i]) for i in range(3)]
+        outs.append(self.fpn_convs[3].conv(c5))
+        outs.append(self.fpn_convs[4].conv(outs[-1]))
+        return outs
+
+
+class TRetinaHead(tnn.Module):
+    def __init__(self, c=64, num_anchors=3, num_classes=NUM_CLASSES):
+        super().__init__()
+        self.cls_convs = tnn.ModuleList([TConvHolder(
+            tnn.Conv2d(c, c, 3, padding=1))])
+        self.reg_convs = tnn.ModuleList([TConvHolder(
+            tnn.Conv2d(c, c, 3, padding=1))])
+        self.retina_cls = tnn.Conv2d(c, num_anchors * num_classes, 3,
+                                     padding=1)
+        self.retina_reg = tnn.Conv2d(c, num_anchors * 4, 3, padding=1)
+
+    def forward(self, feats):
+        outs = []
+        for x in feats:
+            cf = F.relu(self.cls_convs[0].conv(x))
+            rf = F.relu(self.reg_convs[0].conv(x))
+            outs.append((self.retina_cls(cf), self.retina_reg(rf)))
+        return outs
+
+
+class TRetinaNet(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TBackbone()
+
+        class Neck(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                setattr(self, '0', TRetinaFPN())
+
+            def forward(self, feats):
+                return getattr(self, '0')(feats)
+
+        self.neck = Neck()
+        self.bbox_head = TRetinaHead()
+
+
+def torch_retina_inference(model, img, img_shape, nms_pre=200,
+                           score_thr=0.05, nms_thr=0.5, max_per_img=50):
+    outs = model.bbox_head(model.neck(model.backbone(img)))
+    all_probs, all_boxes = [], []
+    for lvl, (cls, reg) in enumerate(outs):
+        h, w = cls.shape[2:]
+        anchors = np_anchors(h, w, R_STRIDES[lvl], scale=R_SCALE)
+        probs = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(
+            -1, NUM_CLASSES).numpy()
+        deltas = reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+        if len(probs) > nms_pre:
+            top = np.argsort(-probs.max(1), kind='stable')[:nms_pre]
+            probs, deltas, anchors = probs[top], deltas[top], anchors[top]
+        all_probs.append(probs)
+        all_boxes.append(np_delta2bbox(anchors, deltas, [1, 1, 1, 1],
+                                       img_shape))
+    probs = np.concatenate(all_probs)
+    boxes = np.concatenate(all_boxes)
+    dets = []
+    for c in range(NUM_CLASSES):
+        m = probs[:, c] > score_thr
+        if not m.any():
+            continue
+        keep = np_nms(boxes[m], probs[m, c], nms_thr)
+        for k in keep:
+            dets.append((probs[m, c][k], c, boxes[m][k]))
+    dets.sort(key=lambda d: -d[0])
+    return dets[:max_per_img]
+
+
+def test_retinanet_e2e_matches_torch_mirror():
+    tm = TRetinaNet()
+    with torch.no_grad():
+        tm.bbox_head.retina_cls.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+
+    h, w = 224, 320
+    img = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        t_dets = torch_retina_inference(tm, img, (h, w))
+
+    from arfe_tpu.models.builder import build_detector
+    cfg = dict(
+        type='RetinaNet',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, start_level=1,
+                   add_extra_convs='on_input', num_outs=5)],
+        bbox_head=dict(
+            type='RetinaHead', num_classes=NUM_CLASSES, in_channels=64,
+            feat_channels=64, stacked_convs=1,
+            anchor_generator=dict(type='AnchorGenerator',
+                                  octave_base_scale=R_SCALE,
+                                  scales_per_octave=1,
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=list(R_STRIDES)),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True)))
+    model = build_detector(cfg, test_cfg=dict(
+        nms_pre=200, min_bbox_size=0, score_thr=0.05,
+        nms=dict(type='nms', iou_thr=0.5), max_per_img=50))
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    dets, labels, valid = model.simple_test(
+        params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray([[h, w]], jnp.float32), jnp.ones((1, 4)))
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0])
+    j_dets = [(dets[i, 4], int(labels[i]), dets[i, :4])
+              for i in range(len(dets)) if valid[i]]
+    assert len(j_dets) > 0
+
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-10)
+
+    used = set()
+    unmatched = []
+    for sc, lab, box in t_dets:
+        if sc < 0.2:
+            continue
+        if not any(j not in used and jlab == lab and iou(box, jbox) > 0.7
+                   and abs(jsc - sc) < 1e-2 and not used.add(j)
+                   for j, (jsc, jlab, jbox) in enumerate(j_dets)):
+            unmatched.append((round(float(sc), 3), lab))
     assert not unmatched, f'unmatched torch dets: {unmatched[:5]}'
