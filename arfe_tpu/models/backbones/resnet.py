@@ -204,7 +204,8 @@ class ResNet(Module):
                  gcb=None, stage_with_gcb=(False, False, False, False),
                  gen_attention=None, stage_with_gen_attention=((), (), (), ()),
                  plugins=None, with_cp=False, rfp=None,
-                 stage_with_rfp=(False, True, True, True)):
+                 stage_with_rfp=(False, True, True, True),
+                 stem_space_to_depth=False):
         self.rfp = rfp
         self.stage_with_rfp = stage_with_rfp
         if depth not in self.arch_settings:
@@ -215,6 +216,12 @@ class ResNet(Module):
         self.out_indices = tuple(out_indices)
         self.frozen_stages = frozen_stages
         self.deep_stem = deep_stem
+        # MLPerf-style space-to-depth stem: conv1 7x7/s2 on C-channel input
+        # runs the MXU at C/128 input utilization; blocking the image 2x2
+        # into 4C channels and convolving with the zero-padded reshaped
+        # kernel is bit-equivalent and ~4x denser. Inference-time transform
+        # of the SAME stored weights (checkpoint-compatible).
+        self.stem_space_to_depth = stem_space_to_depth and not deep_stem
         self.style = style
         self.block_cls = block_cls
 
@@ -323,6 +330,30 @@ class ResNet(Module):
             params[f'layer{i}'] = stop_gradient_tree(params[f'layer{i}'])
         return params
 
+    def _s2d_conv1(self, p, x):
+        """conv1 as a stride-1 4x4 conv over the 2x2-blocked image.
+
+        The 7x7 kernel is zero-padded to 8x8 (one row/col at top/left, so
+        padded tap k maps to spatial offset k-4) and reshaped to
+        (4, 4, 4*C, out) with (s_i, s_j, c) channel order matching the
+        input blocking; original pad 3 becomes asymmetric block pad
+        (2, 1). Bit-equivalent to the standard stem for even H, W."""
+        w = p['weight'].astype(x.dtype)             # (7, 7, C, O) HWIO
+        c, o = w.shape[2], w.shape[3]
+        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wb = wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+        wb = wb.reshape(4, 4, 4 * c, o)
+        n, h, ww = x.shape[0], x.shape[1], x.shape[2]
+        xb = x.reshape(n, h // 2, 2, ww // 2, 2, c)
+        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, ww // 2,
+                                                    4 * c)
+        out = jax.lax.conv_general_dilated(
+            xb, wb, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if 'bias' in p:
+            out = out + p['bias'].astype(out.dtype)
+        return out
+
     def __call__(self, params, x):
         params = self._maybe_freeze(params)
         if self.deep_stem:
@@ -330,6 +361,9 @@ class ResNet(Module):
             for i in range(0, len(self.stem), 2):
                 x = self.stem[i](sp[str(i)], x)
                 x = jax.nn.relu(self.stem[i + 1](sp[str(i + 1)], x))
+        elif self.stem_space_to_depth:
+            x = jax.nn.relu(self.bn1(params['bn1'],
+                                     self._s2d_conv1(params['conv1'], x)))
         else:
             x = jax.nn.relu(self.bn1(params['bn1'],
                                      self.conv1(params['conv1'], x)))
@@ -352,6 +386,9 @@ class ResNet(Module):
             for i in range(0, len(self.stem), 2):
                 x = self.stem[i](sp[str(i)], x)
                 x = jax.nn.relu(self.stem[i + 1](sp[str(i + 1)], x))
+        elif self.stem_space_to_depth:
+            x = jax.nn.relu(self.bn1(params['bn1'],
+                                     self._s2d_conv1(params['conv1'], x)))
         else:
             x = jax.nn.relu(self.bn1(params['bn1'],
                                      self.conv1(params['conv1'], x)))

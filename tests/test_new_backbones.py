@@ -191,3 +191,20 @@ def test_hrnet_grad_flows():
 
     g = jax.grad(f)(p)
     assert float(jnp.abs(g['conv1']['weight']).sum()) > 0
+
+
+def test_space_to_depth_stem_equivalence():
+    """stem_space_to_depth computes the SAME conv1 from the SAME weights
+    via a 2x2-blocked stride-1 4x4 conv (MXU-dense stem)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from arfe_tpu.models.backbones.resnet import ResNet
+    m1 = ResNet(depth=18, base_channels=16)
+    m2 = ResNet(depth=18, base_channels=16, stem_space_to_depth=True)
+    p = m1.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 96, 3),
+                    jnp.float32)
+    for a, b in zip(m1(p, x), m2(p, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
