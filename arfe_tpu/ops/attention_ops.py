@@ -283,15 +283,17 @@ def carafe(features, masks, kernel_size=5, group_size=1, scale_factor=2):
     s = scale_factor
     pad = (k - 1) // 2
     padded = jnp.pad(features, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    # unfold k*k neighborhoods at low resolution: (n, h, w, k*k, c)
-    patches = jnp.stack([
-        padded[:, dy:dy + h, dx:dx + w, :]
-        for dy in range(k) for dx in range(k)], axis=3)
-    # upsample patches to target resolution (nearest: each hi-res pixel
-    # reassembles its source low-res neighborhood)
-    patches = jnp.repeat(jnp.repeat(patches, s, axis=1), s, axis=2)
-    out = jnp.einsum('nhwkc,nhwk->nhwc', patches, masks,
-                     preferred_element_type=jnp.float32)
+    # Accumulate k*k shifted-feature FMAs at output resolution. The naive
+    # unfold-then-einsum form materializes an (n, hs, ws, k*k, c) patch
+    # tensor (a k*k x HBM blowup); this loop keeps every intermediate at
+    # output size and XLA fuses each repeat+multiply+add into one kernel.
+    out = jnp.zeros((n, h * s, w * s, c), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            src = padded[:, dy:dy + h, dx:dx + w, :]
+            src = jnp.repeat(jnp.repeat(src, s, axis=1), s, axis=2)
+            out = out + src.astype(jnp.float32) \
+                * masks[..., dy * k + dx, None].astype(jnp.float32)
     return out.astype(features.dtype)
 
 
