@@ -41,6 +41,7 @@ def build_retinanet():
     cfg = Config.fromfile('configs/arfe/retinanet_r50_arfpn_1x_coco.py')
     model_cfg = dict(cfg.todict()['model'])
     model_cfg.pop('pretrained', None)
+    model_cfg['backbone']['stem_space_to_depth'] = True
     model = build_detector(model_cfg, test_cfg=cfg.todict()['test_cfg'])
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     return model, params
