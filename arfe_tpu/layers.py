@@ -361,13 +361,29 @@ def global_avg_pool(x, keepdims=False):
 
 def resize_nearest(x, size):
     """Nearest-neighbor resize to (h, w) — matches torch
-    ``F.interpolate(mode='nearest')`` for integer up-scaling factors
-    (source index = floor(dst * src/dst))."""
+    ``F.interpolate(mode='nearest')`` (source index = floor(dst * src /
+    dst)). Integer up-scales lower to repeat (broadcast+reshape) and
+    integer down-scales to strided slices: XLA's row gather runs at
+    ~10-20% of HBM peak on v5e, and FPN top-down / AR-FPN attention
+    resizes sit on the hot path, so the gather is a last resort."""
     n, h, w, c = x.shape
     th, tw = size
-    rows = (np.arange(th) * h // th).astype(np.int32)
-    cols = (np.arange(tw) * w // tw).astype(np.int32)
-    return x[:, rows][:, :, cols]
+
+    def axis_resize(arr, src, dst, axis):
+        if dst == src:
+            return arr
+        if dst % src == 0:
+            return jnp.repeat(arr, dst // src, axis=axis)
+        if src % dst == 0:
+            f = src // dst
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(None, None, f)
+            return arr[tuple(sl)]
+        idx = (np.arange(dst) * src // dst).astype(np.int32)
+        return jnp.take(arr, idx, axis=axis)
+
+    x = axis_resize(x, h, th, 1)
+    return axis_resize(x, w, tw, 2)
 
 
 def upsample2x_nearest(x):
