@@ -104,3 +104,27 @@ def mask_iou(dt_masks, gt_masks, iscrowd=None):
         out[:, gi] = np.where(denom > 0, inter[:, gi] / np.maximum(denom, 1),
                               0.0)
     return out
+
+
+def split_combined_polys(polys, poly_lens, polys_per_mask):
+    """Split flat per-image polygon buffers back into per-mask polygon
+    lists (ref: core/mask/utils.py:4-31). ``polys`` is a list (per image)
+    of flat 1-D arrays; ``poly_lens`` the per-polygon lengths;
+    ``polys_per_mask`` the polygon count of each mask."""
+    out = []
+    for img_polys, lens, per_mask in zip(polys, poly_lens, polys_per_mask):
+        lens = list(np.asarray(lens).tolist())
+        per_mask = list(np.asarray(per_mask).tolist())
+        flat = np.asarray(img_polys)
+        pieces = []
+        off = 0
+        for ln in lens:
+            pieces.append(flat[off:off + int(ln)])
+            off += int(ln)
+        masks = []
+        pi = 0
+        for n in per_mask:
+            masks.append(pieces[pi:pi + int(n)])
+            pi += int(n)
+        out.append(masks)
+    return out
