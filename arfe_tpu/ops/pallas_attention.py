@@ -9,6 +9,13 @@ only in VMEM — one HBM pass over Q/K/V/out.
 
 Falls back to the XLA einsum path when shapes don't fit the VMEM budget or
 off-TPU.
+
+Accuracy note (measured on v5e): this kernel computes both matmuls with
+f32 accumulation (preferred_element_type) for every batch size; the XLA
+einsum formulation drops to single-pass-bf16 matmul precision for some
+batched shapes under the default TPU matmul precision (observed 1.2e-2
+max deviation at b=8, n=1050/4200 vs 5e-7 at b=1). The kernel is the
+MORE accurate path as well as the faster one.
 """
 from __future__ import annotations
 
