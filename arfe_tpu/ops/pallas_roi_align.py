@@ -216,7 +216,10 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
         out_shape=jax.ShapeDtypeStruct((r, oh, ow, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lvl_arr, b_arr, yorg, xorg, y0_flat, vec, *feats)
-    return out
+    # match the jnp fallback's dtype contract (compute dtype follows the
+    # input) — also keeps the custom-vjp cotangent dtype consistent with
+    # the jnp-derived backward under bf16 training
+    return out.astype(feats[0].dtype)
 
 
 def pallas_supported(out_size, sample_num, num_levels, channels=None):

@@ -104,6 +104,67 @@ def measure(loop, params, img, n_small=2, n_big=12):
     return (times[n_big] - times[n_small]) / (n_big - n_small)
 
 
+def measure_train_step(model, params, batch_size=4, n_small=3, n_big=13):
+    """DP train-step throughput on the attached chip(s): fwd + bwd + SGD
+    update at the bench resolution, chained-dispatch timing (the train
+    graph inside lax.fori_loop would need non-donated buffers anyway).
+    Uses bs4: the train step roughly triples activation memory vs
+    inference."""
+    from arfe_tpu.parallel import make_dp_train_step, make_mesh, replicate
+    from arfe_tpu.train import build_lr_schedule, build_optimizer, \
+        frozen_prefixes_from_cfg
+
+    b, g = batch_size, 16
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    sched = build_lr_schedule(
+        dict(policy='step', warmup='linear', warmup_iters=500,
+             warmup_ratio=0.001, step=[8, 11]), 0.02, 1000)
+    opt = build_optimizer(
+        dict(type='SGD', momentum=0.9, weight_decay=0.0001), sched, params,
+        frozen_prefixes_from_cfg(dict(backbone=dict(frozen_stages=1))))
+    r = np.random.RandomState(0)
+    gt_bboxes = np.zeros((b, g, 4), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    gt_labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n = 8
+        xy = r.uniform(0, [W - 80, H - 80], (n, 2))
+        wh = r.uniform(30, 80, (n, 2))
+        gt_bboxes[i, :n] = np.concatenate([xy, xy + wh], -1)
+        gt_valid[i, :n] = True
+        gt_labels[i, :n] = r.randint(0, 80, n)
+    batch = dict(
+        img=jnp.asarray(r.randn(b, H, W, 3) * 0.2, jnp.bfloat16),
+        img_shape=jnp.asarray([[float(H), 1333.0]] * b),
+        gt_bboxes=jnp.asarray(gt_bboxes),
+        gt_valid=jnp.asarray(gt_valid),
+        gt_labels=jnp.asarray(gt_labels))
+    key = jax.random.PRNGKey(0)
+    with mesh:
+        p = replicate(mesh, params)
+        opt_state = replicate(mesh, opt.init(p))
+        step = make_dp_train_step(model, opt, mesh)
+        # the step donates params/opt_state, so carry the latest state
+        # across timing runs instead of reusing donated buffers
+        state = [p, opt_state]
+
+        def run(n):
+            pp, oo = state
+            t0 = time.time()
+            for _ in range(n):
+                pp, oo, log = step(pp, oo, batch, key)
+            float(log['loss'])
+            state[0], state[1] = pp, oo
+            return time.time() - t0
+
+        run(1)  # compile
+        ts = {}
+        for n in (n_small, n_big):
+            ts[n] = min(run(n) for _ in range(2))
+    per = (ts[n_big] - ts[n_small]) / (n_big - n_small)
+    return b / per
+
+
 def main():
     model, params = build_flagship()
     img = jnp.asarray(
@@ -126,6 +187,13 @@ def main():
         lats.append(((t3 - t2) - (t1 - t0)) / 5)
     p50_ms = float(np.median(lats) * 1000)
 
+    # training-step throughput (fwd+bwd+SGD update), same resolution
+    train_ips = None
+    try:
+        train_ips = round(measure_train_step(model, params), 2)
+    except Exception as e:
+        train_ips = f'failed: {e!r:.80}'
+
     # secondary row: RetinaNet + AR-FPN throughput at the same batch
     retina_ips = None
     try:
@@ -143,6 +211,7 @@ def main():
         'extra': {
             'p50_latency_ms_bs1': round(p50_ms, 2),
             'retinanet_r50_arfpn_img_per_sec': retina_ips,
+            'train_step_img_per_sec': train_ips,
         },
     }))
 
