@@ -73,13 +73,27 @@ class WFPNDualSpatial(Module):
         outs = []
         for i, x in enumerate(inputs):
             # ref applies ConvModule (conv+ReLU) then tanh
-            # (wfpn_dual_spatial.py:120-121)
-            basic_map = jnp.tanh(self.reduce_convs[i](
-                params['reduce_convs'][str(i)], x))
-            com_map = jnp.tanh(self.reduce_convs2[i](
-                params['reduce_convs2'][str(i)], x))
+            # (wfpn_dual_spatial.py:120-121). The two 1-channel convs read
+            # the same level; run them as ONE 2-channel conv (checkpoint
+            # params stay separate — weights are stacked at trace time)
+            # when neither carries a norm layer.
+            pb = params['reduce_convs'][str(i)]
+            pc = params['reduce_convs2'][str(i)]
+            if set(pb) == {'conv'} and set(pc) == {'conv'}:
+                w = jnp.concatenate([pb['conv']['weight'],
+                                     pc['conv']['weight']], axis=-1)
+                b = jnp.concatenate([pb['conv']['bias'],
+                                     pc['conv']['bias']])
+                y = jax.lax.conv_general_dilated(
+                    x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                y = jnp.tanh(jax.nn.relu(y + b.astype(y.dtype)))
+                att = y[..., 0:1] + y[..., 1:2]
+            else:
+                att = jnp.tanh(self.reduce_convs[i](pb, x)) \
+                    + jnp.tanh(self.reduce_convs2[i](pc, x))
             resized = resize_nearest(bsf, x.shape[1:3])
-            outs.append(x + resized * (basic_map + com_map))
+            outs.append(x + resized * att)
         return tuple(outs)
 
 
