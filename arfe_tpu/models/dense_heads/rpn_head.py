@@ -39,8 +39,17 @@ class RPNHead(AnchorHead):
 
     def forward_single(self, params, x):
         x = jax.nn.relu(self.rpn_conv(params['rpn_conv'], x))
-        return (self.rpn_cls(params['rpn_cls'], x),
-                self.rpn_reg(params['rpn_reg'], x))
+        # cls and reg 1x1 convs read the same feature map; run them as ONE
+        # conv with stacked output channels (XLA does not fuse sibling
+        # convs) and split — stored params stay separate
+        pc, pr = params['rpn_cls'], params['rpn_reg']
+        w = jnp.concatenate([pc['weight'], pr['weight']], axis=-1)
+        b = jnp.concatenate([pc['bias'], pr['bias']])
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(x.dtype)
+        n_cls = self.num_anchors * self.cls_out_channels
+        return out[..., :n_cls], out[..., n_cls:]
 
     def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, img_shapes,
              key):

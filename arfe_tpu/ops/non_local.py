@@ -54,9 +54,25 @@ class NonLocal2D(Module):
     def __call__(self, params, x):
         n, h, w, _ = x.shape
         ic = self.inter_channels
-        g_x = self.g(params['g'], x).reshape(n, h * w, ic)
-        theta_x = self.theta(params['theta'], x).reshape(n, h * w, ic)
-        phi_x = self.phi(params['phi'], x).reshape(n, h * w, ic)
+        if all(set(params[k]) == {'conv'} for k in ('g', 'theta', 'phi')):
+            # three sibling 1x1 convs on the same input -> one stacked
+            # conv (XLA does not fuse them); stored params stay separate
+            w3 = jnp.concatenate([params[k]['conv']['weight']
+                                  for k in ('g', 'theta', 'phi')], axis=-1)
+            b3 = jnp.concatenate([params[k]['conv']['bias']
+                                  for k in ('g', 'theta', 'phi')])
+            gtp = jax.lax.conv_general_dilated(
+                x, w3.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+                + b3.astype(x.dtype)
+            gtp = gtp.reshape(n, h * w, 3 * ic)
+            g_x = gtp[..., :ic]
+            theta_x = gtp[..., ic:2 * ic]
+            phi_x = gtp[..., 2 * ic:]
+        else:
+            g_x = self.g(params['g'], x).reshape(n, h * w, ic)
+            theta_x = self.theta(params['theta'], x).reshape(n, h * w, ic)
+            phi_x = self.phi(params['phi'], x).reshape(n, h * w, ic)
         if self.mode == 'embedded_gaussian':
             # fused Pallas attention on TPU: the (HW, HW) pairwise tile
             # stays in VMEM (ops/pallas_attention.py); XLA path elsewhere
