@@ -72,10 +72,19 @@ class SSDHead(AnchorHead):
         cls_scores = []
         bbox_preds = []
         for i, f in enumerate(feats):
-            cls_scores.append(self.cls_convs[i](
-                params['cls_convs'][str(i)], f))
-            bbox_preds.append(self.reg_convs[i](
-                params['reg_convs'][str(i)], f))
+            # sibling cls/reg convs read the same level -> one stacked
+            # conv (bit-exact; stored params stay separate)
+            pc = params['cls_convs'][str(i)]
+            pr = params['reg_convs'][str(i)]
+            w = jnp.concatenate([pc['weight'], pr['weight']], axis=-1)
+            b = jnp.concatenate([pc['bias'], pr['bias']])
+            out = jax.lax.conv_general_dilated(
+                f, w.astype(f.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+                + b.astype(f.dtype)
+            n_cls = pc['bias'].shape[0]
+            cls_scores.append(out[..., :n_cls])
+            bbox_preds.append(out[..., n_cls:])
         return tuple(cls_scores), tuple(bbox_preds)
 
     def _flatten_level(self, cls_score, bbox_pred):
