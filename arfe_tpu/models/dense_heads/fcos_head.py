@@ -94,9 +94,19 @@ class FCOSHead(Module):
             cls_feat = m(params['cls_convs'][str(i)], cls_feat)
         for i, m in enumerate(self.reg_convs):
             reg_feat = m(params['reg_convs'][str(i)], reg_feat)
-        cls_score = self.conv_cls(params['conv_cls'], cls_feat)
-        centerness = self.conv_centerness(params['conv_centerness'],
-                                          cls_feat)
+        # cls + centerness convs read the same cls tower -> one stacked
+        # conv (bit-exact; stored params stay separate)
+        pc = params['conv_cls']
+        pn = params['conv_centerness']
+        w = jnp.concatenate([pc['weight'], pn['weight']], axis=-1)
+        b = jnp.concatenate([pc['bias'], pn['bias']])
+        out = jax.lax.conv_general_dilated(
+            cls_feat, w.astype(cls_feat.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+            + b.astype(cls_feat.dtype)
+        n_cls = pc['bias'].shape[0]
+        cls_score = out[..., :n_cls]
+        centerness = out[..., n_cls:]
         bbox_pred = self.conv_reg(params['conv_reg'], reg_feat)
         bbox_pred = jnp.exp(params['scales'][lvl] * bbox_pred)
         return cls_score, bbox_pred, centerness

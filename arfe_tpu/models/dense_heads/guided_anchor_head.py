@@ -169,8 +169,16 @@ class GuidedAnchorHead(AnchorHead):
                 'conv_reg': self.conv_reg.init(keys[4])}
 
     def forward_single(self, params, x):
-        loc_pred = self.conv_loc(params['conv_loc'], x)
-        shape_pred = self.conv_shape(params['conv_shape'], x)
+        # loc + shape 1x1 convs read the same input -> one stacked conv
+        pl_, ps_ = params['conv_loc'], params['conv_shape']
+        w = jnp.concatenate([pl_['weight'], ps_['weight']], axis=-1)
+        b = jnp.concatenate([pl_['bias'], ps_['bias']])
+        ls = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(x.dtype)
+        n_loc = pl_['bias'].shape[0]
+        loc_pred = ls[..., :n_loc]
+        shape_pred = ls[..., n_loc:]
         x = self.feature_adaption(params['feature_adaption'], x, shape_pred)
         cls_score = self.conv_cls(params['conv_cls'], x)
         bbox_pred = self.conv_reg(params['conv_reg'], x)
