@@ -206,6 +206,11 @@ class GroupNorm(Module):
     def __call__(self, params, x):
         n, h, w, c = x.shape
         g = self.num_groups
+        if c % g:
+            raise ValueError(
+                f'GroupNorm: channels ({c}) not divisible by num_groups '
+                f'({g}) — pick feat_channels divisible by the GN group '
+                'count (mmdet heads default to GN-32)')
         xg = x.reshape(n, h, w, g, c // g).astype(jnp.float32)
         mean = xg.mean(axis=(1, 2, 4), keepdims=True)
         var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
