@@ -89,13 +89,16 @@ def _nms_sorted_keep(sorted_boxes, iou_threshold, tile_size=128):
 
 
 def nms(boxes, scores, iou_threshold, max_out=None, valid_mask=None,
-        tile_size=128):
+        tile_size=256):
     """Hard NMS with fixed output capacity.
 
     Args:
         boxes: (N, 4) float boxes.
         scores: (N,) scores. Higher first.
         iou_threshold: suppression IoU threshold (ref ``iou_thr``).
+            (tile_size=256 measured fastest on v5e: fewer sequential
+            tile steps than 128, better VPU shapes than 512 — exact
+            greedy at any tile size.)
         max_out: number of output slots (defaults to N).
         valid_mask: optional (N,) bool; False entries never participate.
 
