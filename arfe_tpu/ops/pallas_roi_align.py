@@ -262,12 +262,22 @@ def _raa_bwd(out_size, featmap_strides, finest_scale, sample_num, aligned,
              res, g):
     from .roi_align import roi_align_pyramid
     feats, rois = res
+    # FEATURE grads only — the reference CUDA RoIAlign backward produces
+    # no rois gradient (rois are effectively detached; ref:
+    # ops/roi_align kernels). The unused vjp primal is DCE'd by XLA, so
+    # this backward costs only the gather-transpose scatter (~28 ms at
+    # train shapes on v5e — scatter-bound; measured alternatives, four
+    # C-wide .at[].add scatters 37 ms and one 4C-wide fused-table scatter
+    # 51 ms, are WORSE: XLA scatter does not get faster with wider or
+    # fewer rows. A Pallas DMA-accumulate backward is the only path
+    # below this and is future work.)
+    rois_c = jax.lax.stop_gradient(rois)
     _, vjp = jax.vjp(
-        lambda f, r: roi_align_pyramid(list(f), r, out_size,
-                                       list(featmap_strides), finest_scale,
-                                       sample_num, aligned), feats, rois)
-    df, dr = vjp(g)
-    return df, dr
+        lambda f: roi_align_pyramid(list(f), rois_c, out_size,
+                                    list(featmap_strides), finest_scale,
+                                    sample_num, aligned), feats)
+    (df,) = vjp(g)
+    return df, jnp.zeros_like(rois)
 
 
 roi_align_auto.defvjp(_raa_fwd, _raa_bwd)
