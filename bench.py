@@ -177,7 +177,8 @@ def main():
     loop1 = make_loop(model, 1)
     float(loop1(params, img1, 2))
     lats = []
-    for _ in range(5):
+    for _ in range(3):  # 3 estimates keep the whole bench inside the
+        # driver's per-attempt timeout now that the train row exists
         t0 = time.time()
         float(loop1(params, img1, 2))
         t1 = time.time()
