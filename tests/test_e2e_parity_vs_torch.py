@@ -588,3 +588,129 @@ def test_retinanet_e2e_matches_torch_mirror():
                    for j, (jsc, jlab, jbox) in enumerate(j_dets)):
             unmatched.append((round(float(sc), 3), lab))
     assert not unmatched, f'unmatched torch dets: {unmatched[:5]}'
+
+
+# ---------------------------------------------------------------------------
+# Mask R-CNN mask branch vs torch mirror (exercises the ConvTranspose2d
+# IOHW->HWIO conversion end-to-end)
+# ---------------------------------------------------------------------------
+
+
+class TMaskHead(tnn.Module):
+    def __init__(self, c=64, num_convs=2, num_classes=NUM_CLASSES):
+        super().__init__()
+        self.convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(c, c, 3, padding=1))
+             for _ in range(num_convs)])
+        self.upsample = tnn.ConvTranspose2d(c, c, 2, stride=2)
+        self.conv_logits = tnn.Conv2d(c, num_classes, 1)
+
+    def forward(self, x):
+        for m in self.convs:
+            x = F.relu(m.conv(x))
+        x = F.relu(self.upsample(x))
+        return self.conv_logits(x)
+
+
+class TMaskRCNN(TFasterRCNN):
+    def __init__(self):
+        super().__init__()
+        self.roi_head.mask_head = TMaskHead()
+
+
+def test_mask_rcnn_mask_branch_matches_torch_mirror():
+    torch.manual_seed(42)
+    tm = TMaskRCNN()
+    with torch.no_grad():
+        tm.roi_head.bbox_head.fc_cls.weight.mul_(8.0)
+        tm.rpn_head.rpn_cls.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+
+    h, w = 224, 320
+    img = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        t_dets = torch_inference(tm, img, (h, w))
+        feats = tm.neck(tm.backbone(img))
+
+        def t_mask_for(box):
+            scale = np.sqrt((box[2] - box[0]) * (box[3] - box[1]))
+            lvl = int(np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0, 3))
+            mf = t_roi_align(feats[lvl], box[None], STRIDES[lvl], out=14)
+            return tm.roi_head.mask_head(mf)[0]      # (C_cls, 28, 28)
+
+    from arfe_tpu.models.builder import build_detector
+    cfg = dict(
+        type='MaskRCNN',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, num_outs=5)],
+        rpn_head=dict(
+            type='RPNHead', in_channels=64, feat_channels=64,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(
+                type='Shared2FCBBoxHead', in_channels=64,
+                fc_out_channels=128, roi_feat_size=7,
+                num_classes=NUM_CLASSES,
+                bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                target_stds=[0.1, 0.1, 0.2, 0.2])),
+            mask_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=14, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            mask_head=dict(
+                type='FCNMaskHead', num_convs=2, in_channels=64,
+                conv_out_channels=64, num_classes=NUM_CLASSES)))
+    test_cfg = dict(
+        rpn=dict(nms_pre=RPN_NMS_PRE, nms_post=RPN_NMS_POST,
+                 max_num=RPN_NMS_POST, nms_thr=RPN_NMS_THR,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=RCNN_SCORE_THR,
+                  nms=dict(type='nms', iou_thr=RCNN_NMS_THR),
+                  max_per_img=MAX_PER_IMG, mask_thr_binary=0.5))
+    model = build_detector(cfg, test_cfg=test_cfg)
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    out = model.simple_test(
+        params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray([[h, w]], jnp.float32), jnp.ones((1, 4)))
+    dets, labels, valid, masks = out[0], out[1], out[2], out[3]
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0])
+    masks = np.asarray(masks[0])           # (n, 28, 28) cls-selected logits
+
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-10)
+
+    checked = 0
+    for sc, lab, box in t_dets[:8]:   # top torch dets by score
+        for j in range(len(dets)):
+            if not valid[j] or int(labels[j]) != lab:
+                continue
+            if iou(box, dets[j, :4]) > 0.9 and abs(dets[j, 4] - sc) < 1e-2:
+                with torch.no_grad():
+                    t_logits = np.asarray(t_mask_for(dets[j, :4]))[lab]
+                np.testing.assert_allclose(masks[j], t_logits, atol=5e-3)
+                checked += 1
+                break
+    assert checked >= 2, f'only {checked} detections mask-checked'
