@@ -714,3 +714,198 @@ def test_mask_rcnn_mask_branch_matches_torch_mirror():
                 checked += 1
                 break
     assert checked >= 2, f'only {checked} detections mask-checked'
+
+
+# ---------------------------------------------------------------------------
+# Cascade R-CNN (3-stage refinement, logit-averaged ensemble) vs torch
+# ---------------------------------------------------------------------------
+
+CASCADE_STDS = ([0.1, 0.1, 0.2, 0.2], [0.05, 0.05, 0.1, 0.1],
+                [0.033, 0.033, 0.067, 0.067])
+
+
+class TAgnosticBBoxHead(tnn.Module):
+    """Shared2FC head with class-agnostic regression (cascade stages)."""
+
+    def __init__(self, c=64, fc=128, num_classes=NUM_CLASSES):
+        super().__init__()
+        self.shared_fcs = tnn.ModuleList([tnn.Linear(c * 49, fc),
+                                          tnn.Linear(fc, fc)])
+        self.fc_cls = tnn.Linear(fc, num_classes + 1)
+        self.fc_reg = tnn.Linear(fc, 4)
+
+    def forward(self, x):
+        x = x.flatten(1)
+        for m in self.shared_fcs:
+            x = F.relu(m(x))
+        return self.fc_cls(x), self.fc_reg(x)
+
+
+class TCascadeRCNN(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TBackbone()
+
+        class Neck(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                setattr(self, '0', TFPN([64, 128, 256, 512], 64))
+
+            def forward(self, feats):
+                return getattr(self, '0')(feats)
+
+        self.neck = Neck()
+        self.rpn_head = TRPNHead(64, 3)
+
+        class RoIHead(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.bbox_head = tnn.ModuleList(
+                    [TAgnosticBBoxHead() for _ in range(3)])
+
+        self.roi_head = RoIHead()
+
+
+def _t_roi_feats(feats, boxes):
+    """RoIAlign at mapped FPN levels for a set of boxes (numpy)."""
+    scale = np.sqrt((boxes[:, 2] - boxes[:, 0])
+                    * (boxes[:, 3] - boxes[:, 1]))
+    tl = np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0, 3).astype(int)
+    roi_feats = torch.zeros((len(boxes), 64, 7, 7))
+    for lvl in range(4):
+        sel = np.where(tl == lvl)[0]
+        if len(sel):
+            roi_feats[sel] = t_roi_align(feats[lvl], boxes[sel],
+                                         STRIDES[lvl])
+    return roi_feats
+
+
+def torch_cascade_inference(model, img, img_shape):
+    feats = model.neck(model.backbone(img))
+    rpn_outs = model.rpn_head(feats)
+    all_props, all_scores, all_lvls = [], [], []
+    for lvl, (cls, reg) in enumerate(rpn_outs):
+        h, w = cls.shape[2:]
+        anchors = np_anchors(h, w, STRIDES[lvl])
+        scores = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(-1).numpy()
+        deltas = reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+        if len(scores) > RPN_NMS_PRE:
+            top = np.argsort(-scores, kind='stable')[:RPN_NMS_PRE]
+            scores, deltas, anchors = scores[top], deltas[top], anchors[top]
+        boxes = np_delta2bbox(anchors, deltas, [1, 1, 1, 1], img_shape)
+        all_props.append(boxes)
+        all_scores.append(scores)
+        all_lvls.append(np.full(len(scores), lvl))
+    boxes = np.concatenate(all_props)
+    scores = np.concatenate(all_scores)
+    lvls = np.concatenate(all_lvls)
+    off = lvls * (boxes.max() + 1)
+    keep = np_nms(boxes + off[:, None], scores, RPN_NMS_THR)[:RPN_NMS_POST]
+    props = boxes[keep]
+
+    ms_logits = []
+    cur = props
+    reg_last = None
+    for stage in range(3):
+        rf = _t_roi_feats(feats, cur)
+        logits, reg = model.roi_head.bbox_head[stage](rf)
+        ms_logits.append(logits.numpy())
+        reg_last = reg.numpy()
+        if stage < 2:
+            cur = np_delta2bbox(cur, reg.numpy(), CASCADE_STDS[stage],
+                                img_shape)
+    avg = sum(ms_logits) / 3.0
+    probs = torch.softmax(torch.from_numpy(avg), -1).numpy()
+    boxes_c = np_delta2bbox(cur, reg_last, CASCADE_STDS[2], img_shape)
+    dets = []
+    for c in range(NUM_CLASSES):
+        sc = probs[:, c]
+        m = sc > RCNN_SCORE_THR
+        if not m.any():
+            continue
+        keep = np_nms(boxes_c[m], sc[m], RCNN_NMS_THR)
+        for k in keep:
+            dets.append((sc[m][k], c, boxes_c[m][k]))
+    dets.sort(key=lambda d: -d[0])
+    return dets[:MAX_PER_IMG]
+
+
+def test_cascade_rcnn_e2e_matches_torch_mirror():
+    torch.manual_seed(7)
+    tm = TCascadeRCNN()
+    with torch.no_grad():
+        tm.rpn_head.rpn_cls.weight.mul_(8.0)
+        for h_ in tm.roi_head.bbox_head:
+            h_.fc_cls.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+
+    h, w = 224, 320
+    img = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        t_dets = torch_cascade_inference(tm, img, (h, w))
+
+    from arfe_tpu.models.builder import build_detector
+    stage_head = lambda stds: dict(
+        type='Shared2FCBBoxHead', in_channels=64, fc_out_channels=128,
+        roi_feat_size=7, num_classes=NUM_CLASSES, reg_class_agnostic=True,
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder', target_stds=list(stds)))
+    cfg = dict(
+        type='CascadeRCNN',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, num_outs=5)],
+        rpn_head=dict(
+            type='RPNHead', in_channels=64, feat_channels=64,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True)),
+        roi_head=dict(
+            type='CascadeRoIHead', num_stages=3,
+            stage_loss_weights=[1, 0.5, 0.25],
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=[stage_head(s) for s in CASCADE_STDS]))
+    model = build_detector(cfg, test_cfg=dict(
+        rpn=dict(nms_pre=RPN_NMS_PRE, nms_post=RPN_NMS_POST,
+                 max_num=RPN_NMS_POST, nms_thr=RPN_NMS_THR,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=RCNN_SCORE_THR,
+                  nms=dict(type='nms', iou_thr=RCNN_NMS_THR),
+                  max_per_img=MAX_PER_IMG)))
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    dets, labels, valid = model.simple_test(
+        params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray([[h, w]], jnp.float32), jnp.ones((1, 4)))
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0])
+    j_dets = [(dets[i, 4], int(labels[i]), dets[i, :4])
+              for i in range(len(dets)) if valid[i]]
+    assert len(j_dets) > 0
+
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-10)
+
+    used = set()
+    unmatched = []
+    for sc, lab, box in t_dets[:10]:
+        if not any(j not in used and jlab == lab and iou(box, jbox) > 0.7
+                   and abs(jsc - sc) < 1e-2 and not used.add(j)
+                   for j, (jsc, jlab, jbox) in enumerate(j_dets)):
+            unmatched.append((round(float(sc), 3), lab))
+    assert len(unmatched) <= 1, f'unmatched torch dets: {unmatched[:5]}'
