@@ -55,6 +55,9 @@ def state_dict_to_params(state_dict, prefix_map=None, skip_prefixes=()):
                 name = new + name[len(old):]
                 break
         parts = name.split('.')
+        # mmcv's ConvModule names its norm child by type ('bn'/'gn'/'ln');
+        # arfe_tpu modules use 'bn' uniformly — fold the aliases
+        parts = ['bn' if p in ('gn', 'ln') else p for p in parts]
         d = params
         for p in parts[:-1]:
             d = d.setdefault(p, {})

@@ -909,3 +909,188 @@ def test_cascade_rcnn_e2e_matches_torch_mirror():
                    for j, (jsc, jlab, jbox) in enumerate(j_dets)):
             unmatched.append((round(float(sc), 3), lab))
     assert len(unmatched) <= 1, f'unmatched torch dets: {unmatched[:5]}'
+
+
+# ---------------------------------------------------------------------------
+# FCOS (anchor-free distance decode + centerness + GN towers) vs torch
+# ---------------------------------------------------------------------------
+
+
+class TFCOSFPN(tnn.Module):
+    """start_level=1, add_extra_convs='on_output',
+    relu_before_extra_convs=True (FCOS convention)."""
+
+    def __init__(self, in_chans=(128, 256, 512), out=64):
+        super().__init__()
+        self.lateral_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(c, out, 1)) for c in in_chans])
+        self.fpn_convs = tnn.ModuleList(
+            [TConvHolder(tnn.Conv2d(out, out, 3, padding=1))
+             for _ in in_chans]
+            + [TConvHolder(tnn.Conv2d(out, out, 3, stride=2, padding=1)),
+               TConvHolder(tnn.Conv2d(out, out, 3, stride=2, padding=1))])
+
+    def forward(self, feats):
+        c3, c4, c5 = feats[1], feats[2], feats[3]
+        lats = [m.conv(x) for m, x in zip(self.lateral_convs, (c3, c4, c5))]
+        for i in range(2, 0, -1):
+            lats[i - 1] = lats[i - 1] + F.interpolate(
+                lats[i], size=lats[i - 1].shape[2:], mode='nearest')
+        outs = [self.fpn_convs[i].conv(lats[i]) for i in range(3)]
+        outs.append(self.fpn_convs[3].conv(outs[-1]))
+        outs.append(self.fpn_convs[4].conv(F.relu(outs[-1])))
+        return outs
+
+
+class TFCOSHead(tnn.Module):
+    def __init__(self, c=64, num_classes=NUM_CLASSES):
+        super().__init__()
+
+        class TGNConv(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = tnn.Conv2d(c, c, 3, padding=1)
+                self.gn = tnn.GroupNorm(32, c)
+
+        self.cls_convs = tnn.ModuleList([TGNConv()])
+        self.reg_convs = tnn.ModuleList([TGNConv()])
+        self.conv_cls = tnn.Conv2d(c, num_classes, 3, padding=1)
+        self.conv_reg = tnn.Conv2d(c, 4, 3, padding=1)
+        self.conv_centerness = tnn.Conv2d(c, 1, 3, padding=1)
+        self.scales = tnn.Parameter(torch.ones(5))
+
+    def forward(self, feats):
+        outs = []
+        for lvl, x in enumerate(feats):
+            cf = x
+            rf = x
+            for m in self.cls_convs:
+                cf = F.relu(m.gn(m.conv(cf)))
+            for m in self.reg_convs:
+                rf = F.relu(m.gn(m.conv(rf)))
+            cls = self.conv_cls(cf)
+            cent = self.conv_centerness(cf)
+            reg = torch.exp(self.scales[lvl] * self.conv_reg(rf))
+            outs.append((cls, reg, cent))
+        return outs
+
+
+class TFCOS(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TBackbone()
+
+        class Neck(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                setattr(self, '0', TFCOSFPN())
+
+            def forward(self, feats):
+                return getattr(self, '0')(feats)
+
+        self.neck = Neck()
+        self.bbox_head = TFCOSHead()
+
+
+def torch_fcos_inference(model, img, img_shape, nms_pre=200,
+                         score_thr=0.05, nms_thr=0.5, max_per_img=50):
+    outs = model.bbox_head(model.neck(model.backbone(img)))
+    all_probs, all_cents, all_boxes = [], [], []
+    for lvl, (cls, reg, cent) in enumerate(outs):
+        s = R_STRIDES[lvl]
+        h, w = cls.shape[2:]
+        px = (np.tile(np.arange(w), h) + 0.5) * s
+        py = (np.repeat(np.arange(h), w) + 0.5) * s
+        probs = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(
+            -1, NUM_CLASSES).numpy()
+        cents = torch.sigmoid(cent).reshape(-1).numpy()
+        dists = reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+        if len(probs) > nms_pre:
+            top = np.argsort(-(probs * cents[:, None]).max(1),
+                             kind='stable')[:nms_pre]
+            probs, cents, dists = probs[top], cents[top], dists[top]
+            px, py = px[top], py[top]
+        x1 = np.clip(px - dists[:, 0], 0, img_shape[1])
+        y1 = np.clip(py - dists[:, 1], 0, img_shape[0])
+        x2 = np.clip(px + dists[:, 2], 0, img_shape[1])
+        y2 = np.clip(py + dists[:, 3], 0, img_shape[0])
+        all_probs.append(probs)
+        all_cents.append(cents)
+        all_boxes.append(np.stack([x1, y1, x2, y2], -1))
+    probs = np.concatenate(all_probs)
+    cents = np.concatenate(all_cents)
+    boxes = np.concatenate(all_boxes)
+    weighted = probs * cents[:, None]
+    dets = []
+    for c in range(NUM_CLASSES):
+        m = weighted[:, c] > score_thr
+        if not m.any():
+            continue
+        keep = np_nms(boxes[m], weighted[m, c], nms_thr)
+        for k in keep:
+            dets.append((weighted[m, c][k], c, boxes[m][k]))
+    dets.sort(key=lambda d: -d[0])
+    return dets[:max_per_img]
+
+
+def test_fcos_e2e_matches_torch_mirror():
+    torch.manual_seed(11)
+    tm = TFCOS()
+    with torch.no_grad():
+        tm.bbox_head.conv_cls.weight.mul_(8.0)
+        tm.bbox_head.conv_cls.bias.add_(1.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+
+    h, w = 224, 320
+    img = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        t_dets = torch_fcos_inference(tm, img, (h, w))
+    assert len(t_dets) >= 2
+
+    from arfe_tpu.models.builder import build_detector
+    cfg = dict(
+        type='FCOS',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, start_level=1,
+                   add_extra_convs='on_output',
+                   relu_before_extra_convs=True, num_outs=5)],
+        bbox_head=dict(type='FCOSHead', num_classes=NUM_CLASSES,
+                       in_channels=64, feat_channels=64, stacked_convs=1,
+                       strides=list(R_STRIDES)))
+    model = build_detector(cfg, test_cfg=dict(
+        nms_pre=200, score_thr=0.05, nms=dict(type='nms', iou_thr=0.5),
+        max_per_img=50))
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    dets, labels, valid = model.simple_test(
+        params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray([[h, w]], jnp.float32), jnp.ones((1, 4)))
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0])
+    j_dets = [(dets[i, 4], int(labels[i]), dets[i, :4])
+              for i in range(len(dets)) if valid[i]]
+    assert len(j_dets) > 0
+
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-10)
+
+    used = set()
+    unmatched = []
+    for sc, lab, box in t_dets[:10]:
+        if not any(j not in used and jlab == lab and iou(box, jbox) > 0.7
+                   and abs(jsc - sc) < 1e-2 and not used.add(j)
+                   for j, (jsc, jlab, jbox) in enumerate(j_dets)):
+            unmatched.append((round(float(sc), 3), lab))
+    assert len(unmatched) <= 1, f'unmatched torch dets: {unmatched[:5]}'
