@@ -947,9 +947,11 @@ class TFCOSHead(tnn.Module):
         super().__init__()
 
         class TGNConv(tnn.Module):
+            # bias=False: mmdet fcos_head.py ConvModule uses
+            # bias=(norm_cfg is None) -> no conv bias under GN.
             def __init__(self):
                 super().__init__()
-                self.conv = tnn.Conv2d(c, c, 3, padding=1)
+                self.conv = tnn.Conv2d(c, c, 3, padding=1, bias=False)
                 self.gn = tnn.GroupNorm(32, c)
 
         self.cls_convs = tnn.ModuleList([TGNConv()])
