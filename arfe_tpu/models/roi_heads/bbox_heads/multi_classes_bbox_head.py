@@ -73,8 +73,10 @@ class MultiClassesBBoxHead(ConvFCBBoxHead):
 
         # image-level presence from roi-pooled attention features
         # (ref :223-225), per image
-        r = mean_mat.shape[0]
-        per_img = mean_mat.reshape(num_imgs, r // num_imgs, -1).mean(axis=1)
+        r, hh, ww, cc = mean_mat.shape
+        # flatten CHW (torch order) so converted pre_fc weights line up
+        per_img = mean_mat.reshape(num_imgs, r // num_imgs, hh, ww, cc) \
+            .mean(axis=1).transpose(0, 3, 1, 2).reshape(num_imgs, -1)
         fc1 = jax.nn.relu(self.pre_fc(params['pre_fc'], per_img))
         multi_cls = self.multi_cls_reg(params['multi_cls_reg'], fc1)
         multi_cls = multi_cls.reshape(num_imgs, self.num_classes + 1, 2)
