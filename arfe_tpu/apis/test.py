@@ -1,8 +1,12 @@
 """Dataset evaluation API.
 
 TPU-native counterpart of ref: mmdet/apis/test.py:37-209. Detections stay on
-device as fixed-size arrays until the final host transfer; multi-chip eval
-shards images over the data mesh (no pickle round-trips — SURVEY.md §2.4).
+device as fixed-size arrays; multi-chip eval shards images over the data
+mesh with NO per-batch host round-trip (dispatch stays async, device
+buffers are gathered once at the end — replacing the reference's pickle
+tmpfile / uint8-tensor all_gather collection, apis/test.py:137-209), and
+the COCO matching itself can run on device (core/evaluation/device_eval.py,
+the BASELINE.json "psum'd COCO stat accumulators" path).
 """
 from __future__ import annotations
 
@@ -11,7 +15,6 @@ import time
 import numpy as np
 
 from ..core.bbox.transforms import bbox2result
-
 
 
 def encode_mask_results(mask_results):
@@ -33,19 +36,20 @@ def encode_mask_results(mask_results):
     return encoded
 
 
-def single_device_test(model, params, data_loader, show_progress=True):
-    """(ref: apis/test.py:37-60 single_gpu_test). Returns the reference's
-    result format: per image, list of per-class (n, 5) arrays."""
+def _model_num_classes(model):
+    return (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
+            else model.roi_head.bbox_head.num_classes)
+
+
+def _make_aug_runner(model, _aug_cache, shard=None):
+    """TTA batch runner: drives model.aug_test with per-aug arrays. Flip
+    flags are static per aug (stable MultiScaleFlipAug order), so the jit
+    caches one program per aug configuration. ``shard``: optional
+    NamedSharding constraint applied to each aug's image batch."""
     import jax
     import jax.numpy as jnp
 
-    jitted = jax.jit(lambda p, img, shapes, sf: model.simple_test(
-        p, img, shapes, sf, rescale=True))
-
     def run_aug(p, batch):
-        """TTA batch: drive model.aug_test with per-aug arrays. Flip flags
-        are static per aug (stable MultiScaleFlipAug order), so the jit
-        caches one program per aug configuration."""
         augs = batch['augs']
         flips = tuple(bool(a['img_metas'][0].get('flip', False))
                       for a in augs)
@@ -54,6 +58,9 @@ def single_device_test(model, params, data_loader, show_progress=True):
         key = (flips, shapes)
         if key not in _aug_cache:
             def fn(p, imgs, shps, sfs):
+                if shard is not None:
+                    imgs = tuple(jax.lax.with_sharding_constraint(im, shard)
+                                 for im in imgs)
                 return model.aug_test(p, list(imgs), list(shps), list(sfs),
                                       list(flips), rescale=True)
             _aug_cache[key] = jax.jit(fn)
@@ -62,9 +69,50 @@ def single_device_test(model, params, data_loader, show_progress=True):
             tuple(jnp.asarray(a['img_shape']) for a in augs),
             tuple(jnp.asarray(a['scale_factor']) for a in augs))
 
-    _aug_cache = {}
-    num_classes = (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
-                   else model.roi_head.bbox_head.num_classes)
+    return run_aug
+
+
+def _postprocess_batch(model, out, metas, num_classes, aug_mode, results):
+    """Device outputs -> reference result format (per image: list of
+    per-class (n, 5) arrays, or (bbox_results, segm_results))."""
+    dets, labels, valid = (np.asarray(out[0]), np.asarray(out[1]),
+                           np.asarray(out[2]))
+    masks = np.asarray(out[3]) if len(out) > 3 else None
+    for i in range(dets.shape[0]):
+        d = np.where(valid[i][:, None], dets[i], -np.ones_like(dets[i]))
+        bbox_res = bbox2result(d, labels[i], num_classes)
+        if masks is None:
+            results.append(bbox_res)
+        else:
+            from ..core.mask import paste_masks_np
+            meta = metas[i]
+            oh, ow = meta['ori_shape'][:2]
+            # aug_test and HTC already emit probabilities; plain
+            # simple_test returns logits
+            already_probs = aug_mode or getattr(
+                getattr(model, 'roi_head', None), 'with_mask_probs',
+                False)
+            prob = masks[i] if already_probs else \
+                1.0 / (1.0 + np.exp(-masks[i]))
+            pasted = paste_masks_np(prob, d[:, :4], oh, ow)
+            keep = d[:, 4] > -1
+            segm = [[pasted[j] for j in
+                     np.where(keep & (labels[i] == c))[0]]
+                    for c in range(num_classes)]
+            results.append((bbox_res, segm))
+    return dets.shape[0]
+
+
+def single_device_test(model, params, data_loader, show_progress=True):
+    """(ref: apis/test.py:37-60 single_gpu_test). Returns the reference's
+    result format: per image, list of per-class (n, 5) arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    jitted = jax.jit(lambda p, img, shapes, sf: model.simple_test(
+        p, img, shapes, sf, rescale=True))
+    run_aug = _make_aug_runner(model, {})
+    num_classes = _model_num_classes(model)
     results = []
     t0 = time.time()
     n_done = 0
@@ -72,37 +120,14 @@ def single_device_test(model, params, data_loader, show_progress=True):
         aug_mode = 'augs' in batch
         if aug_mode:
             out = run_aug(params, batch)
-            batch = dict(batch['augs'][0], img_metas=batch['img_metas'])
+            metas = batch['img_metas']
         else:
             out = jitted(params, jnp.asarray(batch['img']),
                          jnp.asarray(batch['img_shape']),
                          jnp.asarray(batch['scale_factor']))
-        dets, labels, valid = (np.asarray(out[0]), np.asarray(out[1]),
-                               np.asarray(out[2]))
-        masks = np.asarray(out[3]) if len(out) > 3 else None
-        for i in range(dets.shape[0]):
-            d = np.where(valid[i][:, None], dets[i], -np.ones_like(dets[i]))
-            bbox_res = bbox2result(d, labels[i], num_classes)
-            if masks is None:
-                results.append(bbox_res)
-            else:
-                from ..core.mask import paste_masks_np
-                meta = batch['img_metas'][i]
-                oh, ow = meta['ori_shape'][:2]
-                # aug_test and HTC already emit probabilities; plain
-                # simple_test returns logits
-                already_probs = aug_mode or getattr(
-                    getattr(model, 'roi_head', None), 'with_mask_probs',
-                    False)
-                prob = masks[i] if already_probs else \
-                    1.0 / (1.0 + np.exp(-masks[i]))
-                pasted = paste_masks_np(prob, d[:, :4], oh, ow)
-                keep = d[:, 4] > -1
-                segm = [[pasted[j] for j in
-                         np.where(keep & (labels[i] == c))[0]]
-                        for c in range(num_classes)]
-                results.append((bbox_res, segm))
-        n_done += dets.shape[0]
+            metas = batch['img_metas']
+        n_done += _postprocess_batch(model, out, metas, num_classes,
+                                     aug_mode, results)
         if show_progress:
             rate = n_done / max(time.time() - t0, 1e-6)
             print(f'\r{n_done} imgs, {rate:.1f} img/s', end='', flush=True)
@@ -111,10 +136,13 @@ def single_device_test(model, params, data_loader, show_progress=True):
     return results
 
 
-def multi_device_test(model, params, data_loader, mesh):
-    """Data-parallel eval over a mesh: images sharded on 'data', fixed-size
-    detection arrays gathered by XLA (ref eval distribution replaced —
-    SURVEY.md §2.4)."""
+def multi_device_test(model, params, data_loader, mesh, show_progress=True):
+    """Data-parallel eval over a mesh with full single-device feature
+    parity (masks + TTA). Images are sharded on the 'data' axis; the
+    fixed-size per-batch outputs stay on device (async dispatch, no host
+    sync inside the loop) and are gathered in ONE transfer phase at the
+    end — the designed replacement for the reference's pickled result
+    collection (ref: mmdet/apis/test.py:87-209)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,19 +154,117 @@ def multi_device_test(model, params, data_loader, mesh):
         img = jax.lax.with_sharding_constraint(img, data)
         return model.simple_test(p, img, shapes, sf, rescale=True)
 
-    num_classes = (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
-                   else model.roi_head.bbox_head.num_classes)
-    results = []
+    run_aug = _make_aug_runner(model, {}, shard=data)
+    num_classes = _model_num_classes(model)
+    pending = []      # (device outputs, metas, aug_mode) per batch
+    n_disp = 0
+    t0 = time.time()
     with mesh:
         for batch in data_loader:
-            dets, labels, valid = step(
+            aug_mode = 'augs' in batch
+            if aug_mode:
+                out = run_aug(params, batch)
+            else:
+                out = step(params, jnp.asarray(batch['img']),
+                           jnp.asarray(batch['img_shape']),
+                           jnp.asarray(batch['scale_factor']))
+            pending.append((out, batch['img_metas'], aug_mode))
+            n_disp += len(batch['img_metas'])
+            if show_progress:
+                print(f'\r{n_disp} imgs dispatched', end='', flush=True)
+    results = []
+    for out, metas, aug_mode in pending:
+        _postprocess_batch(model, out, metas, num_classes, aug_mode,
+                           results)
+    if show_progress:
+        rate = len(results) / max(time.time() - t0, 1e-6)
+        print(f'\r{len(results)} imgs, {rate:.1f} img/s', flush=True)
+    return results
+
+
+def multi_device_coco_eval(model, params, data_loader, dataset, mesh,
+                           show_progress=True):
+    """The north-star multi-chip eval: COCO bbox stats accumulated ON
+    DEVICE. Per batch, the jitted step runs inference AND the COCOeval
+    greedy matching (core/evaluation/device_eval.py) with images sharded
+    over 'data'; the per-class gt counters are reduced on device (a psum
+    over the sharded axis under GSPMD); the compact match buffers transfer
+    to host once at the end, where only the global score sort + PR
+    integration runs.
+
+    Args:
+        dataset: a CocoDataset (provides .coco gt api + .cat2label, images
+            in loader order).
+    Returns:
+        dict of the 12 standard COCO stats (same keys as
+        CocoDataset.evaluate's bbox metrics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.evaluation.coco_eval import IOU_THRS
+    from ..core.evaluation.device_eval import (_np_area_rngs,
+                                               evaluate_from_buffers,
+                                               gt_arrays_from_coco,
+                                               match_image)
+
+    num_classes = _model_num_classes(model)
+    iou_thrs = jnp.asarray(IOU_THRS, jnp.float32)
+    area_rngs = jnp.asarray(_np_area_rngs(), jnp.float32)
+    max_gt = int(max(
+        (len(dataset.coco.img_ann_map.get(i, []))
+         for i in dataset.img_ids), default=1)) or 1
+    data = NamedSharding(mesh, P('data'))
+
+    @jax.jit
+    def step(p, img, shapes, sf, gt_xywh, gt_labels, gt_crowd, gt_ign,
+             gt_area, gt_valid):
+        img = jax.lax.with_sharding_constraint(img, data)
+        out = model.simple_test(p, img, shapes, sf, rescale=True)
+        dets, labels, valid = out[0], out[1], out[2]
+
+        def one(d, l, v, gx, gl, gc, gi, ga, gv):
+            return match_image(d.astype(jnp.float32), l, v, gx, gl, gc,
+                               gi, ga, gv, iou_thrs, area_rngs,
+                               num_classes)
+
+        matched, ignored, num_gt = jax.vmap(one)(
+            dets, labels, valid, gt_xywh, gt_labels, gt_crowd, gt_ign,
+            gt_area, gt_valid)
+        scores = jnp.where(valid, dets[..., 4], -1.0)
+        # on-device cross-chip reduction of the per-class gt counters
+        return scores, labels, matched, ignored, num_gt.sum(axis=0)
+
+    img_pos = 0
+    bufs = []          # device arrays per batch
+    num_gt_total = None
+    with mesh:
+        for batch in data_loader:
+            b = len(batch['img_metas'])
+            ids = dataset.img_ids[img_pos:img_pos + b]
+            img_pos += b
+            gt = [np.stack(arrs) for arrs in zip(
+                *(gt_arrays_from_coco(dataset.coco, iid, dataset.cat2label,
+                                      max_gt) for iid in ids))]
+            scores, labels, matched, ignored, num_gt = step(
                 params, jnp.asarray(batch['img']),
                 jnp.asarray(batch['img_shape']),
-                jnp.asarray(batch['scale_factor']))
-            dets, labels, valid = (np.asarray(dets), np.asarray(labels),
-                                   np.asarray(valid))
-            for i in range(dets.shape[0]):
-                d = np.where(valid[i][:, None], dets[i],
-                             -np.ones_like(dets[i]))
-                results.append(bbox2result(d, labels[i], num_classes))
-    return results
+                jnp.asarray(batch['scale_factor']),
+                *(jnp.asarray(g) for g in gt))
+            bufs.append((scores, labels, matched, ignored))
+            num_gt_total = num_gt if num_gt_total is None \
+                else num_gt_total + num_gt
+            if show_progress:
+                print(f'\r{img_pos} imgs dispatched', end='', flush=True)
+    if show_progress:
+        print()
+    scores = np.concatenate([np.asarray(b[0]) for b in bufs])
+    labels = np.concatenate([np.asarray(b[1]) for b in bufs])
+    matched = np.concatenate([np.asarray(b[2]) for b in bufs])
+    ignored = np.concatenate([np.asarray(b[3]) for b in bufs])
+    out = evaluate_from_buffers(scores, labels, matched, ignored,
+                                np.asarray(num_gt_total), num_classes)
+    stats = out['stats']
+    return {('bbox_mAP' if k == 'AP' else f'bbox_{k}'): v
+            for k, v in stats.items()}

@@ -171,12 +171,21 @@ class DetDataLoader:
 
     def __init__(self, dataset, samples_per_batch=2, num_workers=4,
                  shuffle=True, seed=0, static_shapes='auto', max_gt=100,
-                 test_mode=False, prefetch=2):
+                 test_mode=False, prefetch=2, num_replicas=1, rank=0):
+        """``num_replicas``/``rank``: multi-host sharding — the sampler
+        builds GLOBAL batches (deterministic per epoch seed on every
+        process, ref DistributedGroupSampler semantics,
+        samplers/group_sampler.py:51-100) and each process loads only its
+        ``samples_per_batch / num_replicas`` slice of every batch."""
         self.dataset = dataset
         self.bs = samples_per_batch
         self.num_workers = max(1, num_workers)
         self.test_mode = test_mode
         self.max_gt = max_gt
+        assert samples_per_batch % max(num_replicas, 1) == 0, (
+            'global batch size must divide evenly across processes')
+        self.num_replicas = max(num_replicas, 1)
+        self.rank = rank
         flags = getattr(dataset, 'flag',
                         np.zeros(len(dataset), dtype=np.uint8))
         self.sampler = GroupBatchSampler(flags, samples_per_batch,
@@ -190,6 +199,9 @@ class DetDataLoader:
         return len(self.sampler)
 
     def _load_batch(self, pool, idxs):
+        if self.num_replicas > 1:
+            local = self.bs // self.num_replicas
+            idxs = idxs[self.rank * local:(self.rank + 1) * local]
         samples = list(pool.map(self.dataset.__getitem__, idxs))
         return collate_detection(samples, self.static_shapes, self.max_gt,
                                  self.test_mode)
@@ -228,10 +240,13 @@ class DetDataLoader:
 
 def build_dataloader(dataset, samples_per_gpu=2, workers_per_gpu=2,
                      num_gpus=1, dist=False, shuffle=True, seed=0,
-                     **kwargs):
+                     num_replicas=1, rank=0, **kwargs):
     """(ref: datasets/builder.py:68-135) — batch size here is global
     (num_devices * samples_per_gpu); sharding over devices happens in the
-    train step."""
+    train step. In a multi-host run pass num_replicas=process_count and
+    rank=process_index so each host loads its slice of every global
+    batch."""
     return DetDataLoader(dataset, samples_per_batch=samples_per_gpu * num_gpus,
                          num_workers=workers_per_gpu, shuffle=shuffle,
-                         seed=seed, **kwargs)
+                         seed=seed, num_replicas=num_replicas, rank=rank,
+                         **kwargs)

@@ -39,7 +39,13 @@ def make_mesh(n_data=None, n_model=1, devices=None):
 
 
 def shard_batch(mesh, batch):
-    """Shard every array in the batch dict along dim 0 over 'data'."""
+    """Shard every array in the batch dict along dim 0 over 'data'. In a
+    multi-process (multi-host) run each process holds only its local slice
+    of the global batch and the arrays are assembled across hosts
+    (parallel/multihost.py:global_batch)."""
+    if jax.process_count() > 1:
+        from .multihost import global_batch
+        return global_batch(mesh, batch)
     sharding = NamedSharding(mesh, P('data'))
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 

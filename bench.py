@@ -35,16 +35,21 @@ def build_flagship():
     return model, params
 
 
-def build_retinanet():
+def build_from_config(path, space_to_depth=True):
     from arfe_tpu import Config
     from arfe_tpu.models import build_detector
-    cfg = Config.fromfile('configs/arfe/retinanet_r50_arfpn_1x_coco.py')
+    cfg = Config.fromfile(path)
     model_cfg = dict(cfg.todict()['model'])
     model_cfg.pop('pretrained', None)
-    model_cfg['backbone']['stem_space_to_depth'] = True
+    if space_to_depth:
+        model_cfg['backbone']['stem_space_to_depth'] = True
     model = build_detector(model_cfg, test_cfg=cfg.todict()['test_cfg'])
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     return model, params
+
+
+def build_retinanet():
+    return build_from_config('configs/arfe/retinanet_r50_arfpn_1x_coco.py')
 
 
 def make_loop(model, batch):
@@ -75,9 +80,13 @@ def measure_chained(model, params, img, batch, n_small=3, n_big=23):
 
     @jax.jit
     def step(params, x):
-        dets, _, _ = model.simple_test(params, x, img_shapes,
-                                       scale_factors, rescale=True)
-        return x + (dets.mean() * 1e-20).astype(x.dtype)
+        out = model.simple_test(params, x, img_shapes,
+                                scale_factors, rescale=True)
+        dets = out[0]
+        carry = (dets.mean() * 1e-20).astype(x.dtype)
+        if len(out) > 3:      # mask logits ride the carry too
+            carry = carry + (out[3].mean() * 1e-20).astype(x.dtype)
+        return x + carry
 
     r = step(params, img)
     float(jnp.sum(r[0, 0, 0]))
@@ -204,6 +213,23 @@ def main():
     except Exception as e:  # secondary metric must not break the bench
         retina_ips = f'failed: {e!r:.80}'
 
+    # config-milestone-#5 rows: Mask R-CNN and Cascade R-CNN + AR-FPN
+    # (device path: mask row includes the 28x28 mask-logit branch; the
+    # host-side paste is excluded, matching the fixed-size device-buffer
+    # eval design)
+    extra_rows = {}
+    for name, path in (
+            ('mask_rcnn_r50_arfpn_img_per_sec',
+             'configs/arfe/mask_rcnn_r50_arfpn_1x_coco.py'),
+            ('cascade_rcnn_r50_arfpn_img_per_sec',
+             'configs/arfe/cascade_rcnn_r50_arfpn_1x_coco.py')):
+        try:
+            m, p = build_from_config(path)
+            it = measure_chained(m, p, img, BATCH, n_small=2, n_big=12)
+            extra_rows[name] = round(BATCH / it, 2)
+        except Exception as e:
+            extra_rows[name] = f'failed: {e!r:.80}'
+
     print(json.dumps({
         'metric': 'faster_rcnn_r50_arfpn_inference_throughput',
         'value': round(img_per_sec, 2),
@@ -213,6 +239,7 @@ def main():
             'p50_latency_ms_bs1': round(p50_ms, 2),
             'retinanet_r50_arfpn_img_per_sec': retina_ips,
             'train_step_img_per_sec': train_ips,
+            **extra_rows,
         },
     }))
 

@@ -16,6 +16,10 @@ def parse_args():
     parser.add_argument('--show-dir', help='dir to save visualizations')
     parser.add_argument('--multi-chip', action='store_true',
                         help='shard eval over all devices')
+    parser.add_argument('--device-eval', action='store_true',
+                        help='with --multi-chip --eval bbox: accumulate '
+                             'COCO match stats on device (one host '
+                             'transfer at the end)')
     return parser.parse_args()
 
 
@@ -51,6 +55,15 @@ def main():
         num_gpus=len(jax.devices()) if args.multi_chip else 1,
         shuffle=False, test_mode=True)
 
+    if args.multi_chip and args.device_eval and args.eval == ['bbox'] \
+            and not args.out and hasattr(dataset, 'coco'):
+        # north-star path: on-device COCO stat accumulation over the mesh
+        from arfe_tpu.apis.test import multi_device_coco_eval
+        stats = multi_device_coco_eval(model, params, loader, dataset,
+                                       make_mesh())
+        for k, v in stats.items():
+            print(f'{k}: {v:.4f}' if isinstance(v, float) else f'{k}: {v}')
+        return
     if args.multi_chip and len(jax.devices()) > 1:
         results = multi_device_test(model, params, loader, make_mesh())
     else:

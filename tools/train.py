@@ -28,6 +28,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host: join the coordination service BEFORE any backend use
+    # (ref: tools/train.py:95-99 init_dist; activated by dist_train.sh /
+    # slurm_train.sh via ARFE_DIST_INIT=1)
+    from arfe_tpu.parallel import maybe_init_distributed
+    if maybe_init_distributed():
+        import jax
+        print(f'[dist] process {jax.process_index()}/{jax.process_count()}'
+              f' up, {len(jax.devices())} global device(s)')
     from arfe_tpu import Config
     from arfe_tpu.apis import set_random_seed, train_detector
     from arfe_tpu.data import build_dataset
@@ -70,7 +78,9 @@ def main():
 
     cfg_dict = cfg.todict()
     model_cfg = dict(cfg_dict['model'])
-    model_cfg.pop('pretrained', None)
+    # pretrained= is honored: the detector stores it and train_detector
+    # loads the local converted backbone checkpoint
+    # (arfe_tpu/utils/pretrained.py; ref resnet.py:634-658)
     model = build_detector(model_cfg, train_cfg=cfg_dict.get('train_cfg'),
                            test_cfg=cfg_dict.get('test_cfg'))
     dataset = build_dataset(cfg_dict['data']['train'])
