@@ -27,10 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .roi_align import map_roi_levels
 
 WH, WW = 48, 64
+# small-window bucket for the adaptive backward: FPN level assignment puts
+# the bulk of RoIs at sqrt(area) 14-28 in level coords, so most windows fit
+# (32, 40) (40 = 28 extent + bilinear pair + up to 7 cols of 8-alignment
+# slop); only high-aspect / scale-clamped outliers need the full (48, 64).
+# DMA bytes drop 2.4x for the small bucket.
+SWH, SWW = 32, 40
 
 
-def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, y0_ref, vec_ref, f0, f1, f2, f3,
-            out_ref, win, sems, *, out_size, sample_num, c,
+def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
+            f0, f1, f2, f3, out_ref, win, sems, *, out_size, sample_num, c,
             double_buffer=True):
     num_levels = 4
     r = pl.program_id(0)
@@ -44,12 +50,31 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, y0_ref, vec_ref, f0, f1, f2, f3,
         # window x-origin is 8-aligned (wrapper guarantees; hint Mosaic so
         # the HBM slice provably respects the (8, 128) tiling)
         xo = pl.multiple_of(xo_ref[row], 8)
+        sm = sm_ref[row]
         for k in range(num_levels):
-            @pl.when(lvl == k)
+            # adaptive window: the common small bucket moves 2.4x fewer
+            # bytes; the kernel math is window-size agnostic (one-hot
+            # weights never touch the stale region)
+            @pl.when((lvl == k) & (sm == 1))
+            def _():
+                pltpu.make_async_copy(
+                    feats[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
+                    win.at[slot, pl.ds(0, SWH), pl.ds(0, SWW)],
+                    sems.at[slot]).start()
+
+            @pl.when((lvl == k) & (sm == 0))
             def _():
                 pltpu.make_async_copy(
                     feats[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
                     win.at[slot], sems.at[slot]).start()
+
+    # one-time zero of the scratch: small-window rois leave the tail of
+    # the window stale, and uninitialized VMEM bits can decode to NaN
+    # (0 * NaN would poison the one-hot matmuls). After this, stale data
+    # is always finite feature values, killed by the zero weights.
+    @pl.when(r == 0)
+    def _():
+        win[...] = jnp.zeros_like(win)
 
     if double_buffer:
         @pl.when(r == 0)
@@ -63,10 +88,19 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, y0_ref, vec_ref, f0, f1, f2, f3,
     else:
         start_dma(0, r)
         slot = 0
-    # wait: descriptor shape is level-independent
-    pltpu.make_async_copy(
-        f0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win.at[slot],
-        sems.at[slot]).wait()
+    # wait: descriptor shape is level-independent but window-size specific
+    @pl.when(sm_ref[r] == 1)
+    def _():
+        pltpu.make_async_copy(
+            f0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :],
+            win.at[slot, pl.ds(0, SWH), pl.ds(0, SWW)],
+            sems.at[slot]).wait()
+
+    @pl.when(sm_ref[r] == 0)
+    def _():
+        pltpu.make_async_copy(
+            f0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win.at[slot],
+            sems.at[slot]).wait()
 
     oh, ow = out_size
     sn = sample_num
@@ -179,6 +213,27 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
     yorg, y0r, y1r, wy0, wy1 = axis_params(ys, lvl_h, pad_h, WH,
                                            pair_mode=True)
     xorg, x0r, x1r, wx0, wx1 = axis_params(xs, lvl_w, pad_w, WW, align=8)
+    # adaptive small-window bucket (see _kernel): exact whenever the
+    # sample extents fit (SWH, SWW) unclipped
+    yorg_s, y0r_s, y1r_s, wy0_s, wy1_s = axis_params(
+        ys, lvl_h, pad_h, SWH, pair_mode=True)
+    xorg_s, x0r_s, x1r_s, wx0_s, wx1_s = axis_params(
+        xs, lvl_w, pad_w, SWW, align=8)
+    cc_y = jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0)
+    cc_x = jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0)
+    small = ((cc_y.max(-1) - yorg_s) <= SWH - 2) & \
+        ((cc_x.max(-1) - xorg_s) <= SWW - 2)
+    sm_arr = small.astype(jnp.int32)
+
+    def sel(s, l):
+        return jnp.where(small[:, None] if s.ndim == 2 else small, s, l)
+
+    yorg = sel(yorg_s, yorg)
+    xorg = sel(xorg_s, xorg)
+    y0r, y1r = sel(y0r_s, y0r), sel(y1r_s, y1r)
+    wy0, wy1 = sel(wy0_s, wy0), sel(wy1_s, wy1)
+    x0r, x1r = sel(x0r_s, x0r), sel(x1r_s, x1r)
+    wx0, wx1 = sel(wx0_s, wx0), sel(wx1_s, wx1)
 
     r = rois.shape[0]
     lvl_arr = target_lvls.astype(jnp.int32)
@@ -192,7 +247,7 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
                                sample_num=sn, c=c,
                                double_buffer=double_buffer)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, 8, 16), lambda i, *refs: (i, 0, 0),
@@ -215,7 +270,7 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, oh, ow, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lvl_arr, b_arr, yorg, xorg, y0_flat, vec, *feats)
+    )(lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec, *feats)
     # match the jnp fallback's dtype contract (compute dtype follows the
     # input) — also keeps the custom-vjp cotangent dtype consistent with
     # the jnp-derived backward under bf16 training
@@ -264,14 +319,23 @@ def _raa_bwd(out_size, featmap_strides, finest_scale, sample_num, aligned,
     feats, rois = res
     # FEATURE grads only — the reference CUDA RoIAlign backward produces
     # no rois gradient (rois are effectively detached; ref:
-    # ops/roi_align kernels). The unused vjp primal is DCE'd by XLA, so
-    # this backward costs only the gather-transpose scatter (~28 ms at
-    # train shapes on v5e — scatter-bound; measured alternatives, four
-    # C-wide .at[].add scatters 37 ms and one 4C-wide fused-table scatter
-    # 51 ms, are WORSE: XLA scatter does not get faster with wider or
-    # fewer rows. A Pallas DMA-accumulate backward is the only path
-    # below this and is future work.)
+    # ops/roi_align kernels). Default path: the adaptive-window Pallas
+    # DMA-accumulate backward (the fixed-window variant only reached
+    # parity with XLA's 28 ms scatter; the small-window bucket moves
+    # 2.4x fewer bytes per typical RoI). ARFE_TPU_PALLAS_ROI_BWD=0
+    # falls back to the jnp vjp gather-transpose scatter.
+    import os
     rois_c = jax.lax.stop_gradient(rois)
+    use_pallas = os.environ.get('ARFE_TPU_PALLAS_ROI_BWD', '1') != '0'
+    if use_pallas and pallas_supported(out_size, sample_num,
+                                       len(featmap_strides),
+                                       feats[0].shape[-1]):
+        df = roi_align_pallas_bwd(g.astype(jnp.float32), rois_c,
+                                  [f.shape for f in feats],
+                                  list(featmap_strides), finest_scale,
+                                  sample_num, aligned)
+        df = tuple(d.astype(f.dtype) for d, f in zip(df, feats))
+        return df, jnp.zeros_like(rois)
     _, vjp = jax.vjp(
         lambda f: roi_align_pyramid(list(f), rois_c, out_size,
                                     list(featmap_strides), finest_scale,
@@ -283,13 +347,15 @@ def _raa_bwd(out_size, featmap_strides, finest_scale, sample_num, aligned,
 roi_align_auto.defvjp(_raa_fwd, _raa_bwd)
 
 
-def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, vec_ref, g_ref,
+def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
                 z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem, *,
                 out_size, sample_num, c):
     """Scatter-transpose of :func:`_kernel`: per RoI, read-modify-write
-    its (WH, WW, C) window of the level gradient buffer. Strictly
-    serialized (no double buffering) — consecutive RoI windows may
-    overlap, so each write must land before the next read."""
+    its gradient-buffer window. Strictly serialized (no double
+    buffering) — consecutive RoI windows may overlap, so each write must
+    land before the next read. Adaptive window: RoIs whose samples fit
+    the (SWH, SWW) bucket (sm=1, the common case) move 2.4x fewer bytes
+    than the worst-case (WH, WW) window."""
     del z0, z1, z2, z3  # aliased to o0..o3; accumulate through the outs
     r = pl.program_id(0)
     outs = (o0, o1, o2, o3)
@@ -297,14 +363,30 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, vec_ref, g_ref,
     b = b_ref[r]
     yo = yo_ref[r]
     xo = pl.multiple_of(xo_ref[r], 8)
+    sm = sm_ref[r]
     for k in range(4):
-        @pl.when(lvl == k)
+        @pl.when((lvl == k) & (sm == 1))
+        def _():
+            pltpu.make_async_copy(
+                outs[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
+                win.at[pl.ds(0, SWH), pl.ds(0, SWW)], rsem).start()
+
+        @pl.when((lvl == k) & (sm == 0))
         def _():
             pltpu.make_async_copy(
                 outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
                 win, rsem).start()
-    pltpu.make_async_copy(
-        o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win, rsem).wait()
+
+    @pl.when(sm == 1)
+    def _():
+        pltpu.make_async_copy(
+            o0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :],
+            win.at[pl.ds(0, SWH), pl.ds(0, SWW)], rsem).wait()
+
+    @pl.when(sm == 0)
+    def _():
+        pltpu.make_async_copy(
+            o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win, rsem).wait()
 
     oh, ow = out_size
     sn = sample_num
@@ -338,13 +420,29 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, vec_ref, g_ref,
     win[...] = win[...] + win_add.reshape(WH, WW, c)
 
     for k in range(4):
-        @pl.when(lvl == k)
+        @pl.when((lvl == k) & (sm == 1))
+        def _():
+            pltpu.make_async_copy(
+                win.at[pl.ds(0, SWH), pl.ds(0, SWW)],
+                outs[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
+                wsem).start()
+
+        @pl.when((lvl == k) & (sm == 0))
         def _():
             pltpu.make_async_copy(
                 win, outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
                 wsem).start()
-    pltpu.make_async_copy(
-        win, o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], wsem).wait()
+
+    @pl.when(sm == 1)
+    def _():
+        pltpu.make_async_copy(
+            win.at[pl.ds(0, SWH), pl.ds(0, SWW)],
+            o0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :], wsem).wait()
+
+    @pl.when(sm == 0)
+    def _():
+        pltpu.make_async_copy(
+            win, o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], wsem).wait()
 
 
 def roi_align_pallas_bwd(g, rois, feat_shapes,
@@ -436,6 +534,30 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
     yorg, y0r, y1r, wy0, wy1 = axis_params(ys, lvl_h, pad_h, WH,
                                            pair_mode=True)
     xorg, x0r, x1r, wx0, wx1 = axis_params(xs, lvl_w, pad_w, WW, align=8)
+    # adaptive small-window bucket: recompute with (SWH, SWW) and take it
+    # for every RoI whose sample extents fully fit (no clipping), i.e.
+    # max(cc - org_s) <= wsize - 2 on both axes
+    yorg_s, y0r_s, y1r_s, wy0_s, wy1_s = axis_params(
+        ys, lvl_h, pad_h, SWH, pair_mode=True)
+    xorg_s, x0r_s, x1r_s, wx0_s, wx1_s = axis_params(
+        xs, lvl_w, pad_w, SWW, align=8)
+    cc_y = jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0)
+    cc_x = jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0)
+    fits_y = (cc_y.max(-1) - yorg_s) <= SWH - 2
+    fits_x = (cc_x.max(-1) - xorg_s) <= SWW - 2
+    small = (fits_y & fits_x)
+    sm_arr = small.astype(jnp.int32)
+
+    def sel(s, l):
+        return jnp.where(small[:, None] if s.ndim == 2 else small, s, l)
+
+    yorg = sel(yorg_s, yorg)
+    xorg = sel(xorg_s, xorg)
+    y0r, y1r = sel(y0r_s, y0r), sel(y1r_s, y1r)
+    wy0, wy1 = sel(wy0_s, wy0), sel(wy1_s, wy1)
+    x0r, x1r = sel(x0r_s, x0r), sel(x1r_s, x1r)
+    wx0, wx1 = sel(wx0_s, wx0), sel(wx1_s, wx1)
+
     r = rois.shape[0]
     lvl_arr = target_lvls.astype(jnp.int32)
     b_arr = rois[:, 0].astype(jnp.int32)
@@ -449,7 +571,7 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
     kernel = functools.partial(_bwd_kernel, out_size=out_size,
                                sample_num=sn, c=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, 8, 16), lambda i, *refs: (i, 0, 0),
@@ -474,9 +596,10 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
         out_shape=[jax.ShapeDtypeStruct((b, int(ph), int(pw), c),
                                         jnp.float32)
                    for ph, pw in pad_sizes],
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lvl_arr, b_arr, yorg, xorg, vec, g.astype(jnp.float32), *zeros)
+    )(lvl_arr, b_arr, yorg, xorg, sm_arr, vec, g.astype(jnp.float32),
+      *zeros)
     # crop padding back to the real level extents
     return [o[:, :int(hs), :int(ws), :]
             for o, (hs, ws) in zip(outs, real_sizes)]

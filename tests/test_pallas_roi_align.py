@@ -34,3 +34,39 @@ def test_extractor_gates_pallas_off_cpu():
     from arfe_tpu.ops.pallas_roi_align import pallas_supported
     # tests run on CPU: the extractor must take the jnp path
     assert not pallas_supported((7, 7), 2, 4)
+
+
+def test_pallas_bwd_adaptive_matches_autodiff_interpret():
+    """Adaptive-window backward (mixed small/large window buckets) is the
+    exact transpose: matches jnp autodiff on rois whose windows don't
+    clip."""
+    from arfe_tpu.ops.pallas_roi_align import roi_align_pallas_bwd
+
+    rng = np.random.RandomState(3)
+    b, c = 2, 256
+    feats = [jnp.asarray(rng.randn(b, 128 // (2 ** i), 192 // (2 ** i),
+                                   c).astype(np.float32)) for i in range(4)]
+    strides = [4, 8, 16, 32]
+    # hand-placed rois: small-bucket (extent ~20-25 in level coords) and
+    # large-bucket (extent ~42) cases, away from image edges
+    rois = np.array([
+        [0, 100, 100, 180, 180],     # scale 80 -> lvl 0, extent 20 (small)
+        [1, 60, 120, 260, 320],      # scale 200 -> lvl 1, extent 25 (small)
+        [0, 200, 100, 370, 150],     # 170x50 -> lvl 0, w extent 42 (large)
+        [1, 80, 180, 130, 350],      # 50x170 -> lvl 0, h extent 42 (large)
+        [0, 40, 40, 600, 580],       # scale ~550 -> lvl 3, extent 17
+        [1, 300, 200, 420, 330],     # scale ~125 -> lvl 1, extent ~15
+    ], np.float32)
+    rois_j = jnp.asarray(rois)
+    g = jnp.asarray(rng.randn(len(rois), 7, 7, c).astype(np.float32))
+
+    _, vjp = jax.vjp(
+        lambda f: roi_align_pyramid(list(f), rois_j, (7, 7), strides, 56,
+                                    2, True), feats)
+    (ref,) = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = roi_align_pallas_bwd(
+            g, rois_j, [f.shape for f in feats], strides, 56, 2, True)
+    for lvl, (r_, g_) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(r_),
+                                   atol=1e-3, err_msg=f'level {lvl}')
