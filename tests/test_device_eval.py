@@ -216,3 +216,41 @@ def test_multi_device_coco_eval_matches_host_eval(tmp_path):
               'bbox_APm', 'bbox_APl'):
         assert abs(dev_stats[k] - host_stats[k]) < 1e-6, \
             (k, dev_stats[k], host_stats[k])
+
+
+def test_multi_device_test_tta_equals_single_device():
+    """TTA (aug batches) through multi_device_test matches the
+    single-device path."""
+    from arfe_tpu.apis.test import multi_device_test, single_device_test
+    from arfe_tpu.models import build_detector
+    from arfe_tpu.parallel import make_mesh
+    from test_faster_rcnn_smoke import TEST_CFG, faster_cfg
+
+    model = build_detector(faster_cfg(False), test_cfg=dict(TEST_CFG))
+    params = model.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(5)
+    h, w = 64, 96
+    bs = 2
+
+    def aug(flip, seed):
+        img = rng.randn(bs, h, w, 3).astype(np.float32)
+        return {
+            'img': img,
+            'img_shape': np.tile([[h, w]], (bs, 1)).astype(np.float32),
+            'scale_factor': np.ones((bs, 4), np.float32),
+            'img_metas': [dict(ori_shape=(h, w, 3), img_shape=(h, w, 3),
+                               scale_factor=np.ones(4, np.float32),
+                               flip=flip) for _ in range(bs)],
+        }
+
+    batches = []
+    for i in range(2):
+        augs = [aug(False, i), aug(True, i)]
+        batches.append({'augs': augs, 'img_metas': augs[0]['img_metas']})
+
+    single = single_device_test(model, params, batches,
+                                show_progress=False)
+    mesh = make_mesh(n_data=2)
+    multi = multi_device_test(model, params, batches, mesh,
+                              show_progress=False)
+    _results_equal(single, multi)
