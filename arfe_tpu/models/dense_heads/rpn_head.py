@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...ops.nms import batched_nms
+
 from ...registry import HEADS
 from ..layers import Conv2d
 from .anchor_head import AnchorHead
@@ -76,7 +76,7 @@ class RPNHead(AnchorHead):
         nms_pre = cfg.get('nms_pre', -1)
         nms_post = cfg.get('nms_post', cfg.get('max_num', 1000))
 
-        scores_l, preds_l, anchors_l, ids_l = [], [], [], []
+        scores_l, preds_l, anchors_l, counts = [], [], [], []
         for lvl, (cls_score, bbox_pred, anchors) in enumerate(
                 zip(cls_scores, bbox_preds, mlvl_anchors)):
             b = cls_score.shape[0]
@@ -98,28 +98,68 @@ class RPNHead(AnchorHead):
             scores_l.append(scores)
             preds_l.append(preds)
             anchors_l.append(anc)
-            ids_l.append(jnp.full(scores.shape, lvl, jnp.int32))
-        scores = jnp.concatenate(scores_l, axis=1)
-        preds = jnp.concatenate(preds_l, axis=1)
-        anchors = jnp.concatenate(anchors_l, axis=1)
-        ids = jnp.concatenate(ids_l, axis=1)
+            counts.append(scores.shape[1])
+
+        # pad every level to a common candidate count so the per-level NMS
+        # runs as ONE vmapped (B*L, K) problem: with level-keyed
+        # suppression, per-level NMS is exactly the reference's batched
+        # NMS, but 5 parallel 1000-box problems have 5x fewer sequential
+        # tile steps than one 5000-box problem
+        k_cap = max(counts)
+        b = scores_l[0].shape[0]
+        num_lvls = len(scores_l)
+
+        def pad_to(x, fill=0.0):
+            pad = k_cap - x.shape[1]
+            if pad == 0:
+                return x
+            shape = (x.shape[0], pad) + x.shape[2:]
+            return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], 1)
+
+        scores = jnp.stack([pad_to(s, -1.0) for s in scores_l], 1)
+        preds = jnp.stack([pad_to(p) for p in preds_l], 1)
+        anchors = jnp.stack([pad_to(a) for a in anchors_l], 1)
+        lvl_valid = jnp.stack(
+            [jnp.broadcast_to(jnp.arange(k_cap) < c, (b, k_cap))
+             for c in counts], 1)                      # (B, L, K)
 
         def _decode_one(anc, prd, shape):
             return self.bbox_coder.decode(anc, prd, max_shape=shape)
 
-        proposals = jax.vmap(_decode_one)(anchors, preds, img_shapes)
+        proposals = jax.vmap(jax.vmap(_decode_one, in_axes=(0, 0, None)))(
+            anchors, preds, img_shapes)                # (B, L, K, 4)
 
         min_size = cfg.get('min_bbox_size', 0)
         w = proposals[..., 2] - proposals[..., 0]
         h = proposals[..., 3] - proposals[..., 1]
-        valid = (w >= min_size) & (h >= min_size)
+        valid = (w >= min_size) & (h >= min_size) & lvl_valid
 
-        nms_cfg = dict(type='nms', iou_thr=cfg['nms_thr'])
+        from ...ops.nms import nms
 
-        def _nms_one(boxes, sc, lvl_ids, vm):
-            dets, _, out_valid = batched_nms(boxes, sc, lvl_ids, nms_cfg,
-                                             max_out=nms_post, valid_mask=vm)
+        def _nms_lvl(boxes, sc, vm):
+            dets, _, out_valid = nms(boxes, sc, cfg['nms_thr'],
+                                     max_out=k_cap, valid_mask=vm)
             return dets, out_valid
 
-        dets, out_valid = jax.vmap(_nms_one)(proposals, scores, ids, valid)
+        flat = lambda x: x.reshape((b * num_lvls,) + x.shape[2:])
+        dets_lvl, valid_lvl = jax.vmap(_nms_lvl)(
+            flat(proposals), flat(scores), flat(valid))
+        dets_lvl = dets_lvl.reshape(b, num_lvls * k_cap, 5)
+        valid_lvl = valid_lvl.reshape(b, num_lvls * k_cap)
+        # global top nms_post by kept score (ref: nms_post slice after the
+        # level-keyed NMS, rpn_head.py:113-120)
+        kept_scores = jnp.where(valid_lvl, dets_lvl[..., 4], -jnp.inf)
+        k_out = min(nms_post, num_lvls * k_cap)
+        top_vals, top_idx = jax.lax.top_k(kept_scores, k_out)
+        dets = jnp.take_along_axis(dets_lvl, top_idx[..., None], axis=1)
+        out_valid = jnp.isfinite(top_vals)
+        dets = jnp.where(out_valid[..., None], dets,
+                         jnp.asarray([0., 0., 0., 0., -1.], dets.dtype))
+        if k_out < nms_post:
+            pad = nms_post - k_out
+            dets = jnp.concatenate(
+                [dets, jnp.tile(jnp.asarray([[[0., 0., 0., 0., -1.]]],
+                                            dets.dtype), (b, pad, 1))], 1)
+            out_valid = jnp.concatenate(
+                [out_valid, jnp.zeros((b, pad), bool)], 1)
         return dets, out_valid
