@@ -15,7 +15,11 @@ f32 accumulation (preferred_element_type) for every batch size; the XLA
 einsum formulation drops to single-pass-bf16 matmul precision for some
 batched shapes under the default TPU matmul precision (observed 1.2e-2
 max deviation at b=8, n=1050/4200 vs 5e-7 at b=1). The kernel is the
-MORE accurate path as well as the faster one.
+MORE accurate path as well as the faster one. Operands stay in their
+input dtype inside the kernel (bf16 MXU products are exact; only the
+softmax probabilities are quantized to the value dtype before the PV
+matmul — same as the XLA path), which halves the K/V VMEM footprint and
+lets the flagship's 4200-token refine level fit without falling back.
 """
 from __future__ import annotations
 
@@ -27,13 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom of the ~16MB VMEM
-BQ = 256
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
-    q = q_ref[0].astype(jnp.float32)                 # (BQ, C)
-    k = k_ref[0].astype(jnp.float32)                 # (N, C)
-    v = v_ref[0].astype(jnp.float32)                 # (N, C)
+    # Keep q/k/v in their input dtype: for bf16 operands the MXU multiplies
+    # exactly (8-bit mantissas -> <=16-bit products) and accumulates f32 via
+    # preferred_element_type, so materializing f32 VMEM copies of K/V (which
+    # doubled the footprint and forced an XLA fallback at the flagship's
+    # 4200-token refine level) adds no precision.
+    q = q_ref[0]                                     # (BQ, C)
+    k = k_ref[0]                                     # (N, C)
+    v = v_ref[0]                                     # (N, C)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if scale is not None:
@@ -46,14 +54,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
     o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _fits(n_pad, c):
-    # q block + k + v + s + out, fp32
-    need = (BQ * c + 2 * n_pad * c + BQ * n_pad + BQ * c) * 4
-    return need <= VMEM_BUDGET
+def _pick_bq(n, c, in_bytes):
+    """Largest query-block size whose working set fits the VMEM budget
+    (q/out double-buffered across grid steps; K/V fetched once; the f32
+    pairwise tile counted twice to cover exp/normalize temporaries)."""
+    for bq in (512, 256, 128, 64):
+        n_pad = -(-n // bq) * bq
+        need = (2 * bq * c * in_bytes + 2 * n_pad * c * in_bytes
+                + 2 * bq * n_pad * 4 + 2 * bq * c * 4)
+        if need <= VMEM_BUDGET:
+            return bq
+    return None
 
 
 def fused_softmax_attention(q, k, v, scale=None):
@@ -64,8 +79,8 @@ def fused_softmax_attention(q, k, v, scale=None):
     """
     b, n, c = q.shape
     on_tpu = jax.default_backend() == 'tpu'
-    n_pad = -(-n // BQ) * BQ
-    if not (on_tpu and c % 128 == 0 and _fits(n_pad, c)):
+    BQ = _pick_bq(n, c, q.dtype.itemsize) if on_tpu else None
+    if not (on_tpu and c % 128 == 0 and BQ is not None):
         s = jnp.einsum('nqc,nkc->nqk', q, k,
                        preferred_element_type=jnp.float32)
         if scale is not None:
@@ -74,6 +89,7 @@ def fused_softmax_attention(q, k, v, scale=None):
         return jnp.einsum('nqk,nkc->nqc', p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
 
+    n_pad = -(-n // BQ) * BQ
     pad = n_pad - n
     if pad:
         qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
