@@ -41,11 +41,17 @@ def _model_num_classes(model):
             else model.roi_head.bbox_head.num_classes)
 
 
-def _make_aug_runner(model, _aug_cache, shard=None):
+def _make_aug_runner(model, _aug_cache, shard=None, out_shard=None,
+                     assemble=None):
     """TTA batch runner: drives model.aug_test with per-aug arrays. Flip
     flags are static per aug (stable MultiScaleFlipAug order), so the jit
     caches one program per aug configuration. ``shard``: optional
-    NamedSharding constraint applied to each aug's image batch."""
+    NamedSharding constraint applied to each aug's image batch.
+    ``out_shard``: optional output sharding (multi-host runs replicate the
+    fixed-size outputs so every process can read them). ``assemble``:
+    optional fn(array_dict) -> dict of global jax.Arrays, used on
+    multi-host runs to build each aug's global batch from the local
+    slice."""
     import jax
     import jax.numpy as jnp
 
@@ -53,21 +59,33 @@ def _make_aug_runner(model, _aug_cache, shard=None):
         augs = batch['augs']
         flips = tuple(bool(a['img_metas'][0].get('flip', False))
                       for a in augs)
-        shapes = tuple(a['img'].shape for a in augs)
+        if assemble is not None:
+            glob = [assemble({'img': a['img'], 'img_shape': a['img_shape'],
+                              'scale_factor': a['scale_factor']})
+                    for a in augs]
+            imgs = tuple(g['img'] for g in glob)
+            shps = tuple(g['img_shape'] for g in glob)
+            sfs = tuple(g['scale_factor'] for g in glob)
+        else:
+            imgs = tuple(jnp.asarray(a['img']) for a in augs)
+            shps = tuple(jnp.asarray(a['img_shape']) for a in augs)
+            sfs = tuple(jnp.asarray(a['scale_factor']) for a in augs)
 
-        key = (flips, shapes)
+        key = (flips, tuple(im.shape for im in imgs))
         if key not in _aug_cache:
             def fn(p, imgs, shps, sfs):
                 if shard is not None:
                     imgs = tuple(jax.lax.with_sharding_constraint(im, shard)
                                  for im in imgs)
-                return model.aug_test(p, list(imgs), list(shps), list(sfs),
-                                      list(flips), rescale=True)
+                out = model.aug_test(p, list(imgs), list(shps), list(sfs),
+                                     list(flips), rescale=True)
+                if out_shard is not None:
+                    out = jax.tree_util.tree_map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, out_shard), out)
+                return out
             _aug_cache[key] = jax.jit(fn)
-        return _aug_cache[key](
-            p, tuple(jnp.asarray(a['img']) for a in augs),
-            tuple(jnp.asarray(a['img_shape']) for a in augs),
-            tuple(jnp.asarray(a['scale_factor']) for a in augs))
+        return _aug_cache[key](p, imgs, shps, sfs)
 
     return run_aug
 
@@ -147,6 +165,10 @@ def multi_device_test(model, params, data_loader, mesh, show_progress=True):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if jax.process_count() > 1:
+        return _multihost_device_test(model, params, data_loader, mesh,
+                                      show_progress)
+
     data = NamedSharding(mesh, P('data'))
 
     @jax.jit
@@ -176,6 +198,87 @@ def multi_device_test(model, params, data_loader, mesh, show_progress=True):
     for out, metas, aug_mode in pending:
         _postprocess_batch(model, out, metas, num_classes, aug_mode,
                            results)
+    if show_progress:
+        rate = len(results) / max(time.time() - t0, 1e-6)
+        print(f'\r{len(results)} imgs, {rate:.1f} img/s', flush=True)
+    return results
+
+
+def _multihost_device_test(model, params, data_loader, mesh,
+                           show_progress):
+    """Multi-process (multi-host) eval: each process feeds only its local
+    slice of every global batch (``jax.make_array_from_process_local_data``
+    via parallel/multihost.py:global_batch) over a mesh that spans hosts;
+    the fixed-size outputs are replicated by an output sharding constraint
+    (a compiler all_gather over ICI/DCN) so EVERY process holds the full
+    detection buffers — the reference's pickle/tmpfile result collection
+    (ref: mmdet/apis/test.py:137-209) has no host-side counterpart here.
+
+    Per-image host metadata (ori_shape for mask paste, the remainder-batch
+    'pad' flag) rides the same path as small numeric arrays, so no host
+    object needs cross-process transport. Results return in global batch
+    order on every process; padded remainder entries are dropped."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.multihost import global_batch
+
+    data = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(p, img, shapes, sf):
+        img = jax.lax.with_sharding_constraint(img, data)
+        out = model.simple_test(p, img, shapes, sf, rescale=True)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), out)
+
+    gather_side = jax.jit(lambda t: t, out_shardings=repl)
+
+    def assemble(arrs):
+        return global_batch(mesh, arrs)
+
+    run_aug = _make_aug_runner(model, {}, shard=data, out_shard=repl,
+                               assemble=assemble)
+    num_classes = _model_num_classes(model)
+    pending = []      # (device outputs, side info, aug_mode) per batch
+    n_disp = 0
+    t0 = time.time()
+    with mesh:
+        for batch in data_loader:
+            aug_mode = 'augs' in batch
+            metas = batch['img_metas']
+            side_np = {
+                'ori_hw': np.asarray(
+                    [m.get('ori_shape', (0, 0, 0))[:2] for m in metas],
+                    np.int32),
+                'pad': np.asarray([bool(m.get('pad', False))
+                                   for m in metas]),
+            }
+            side = gather_side(global_batch(mesh, side_np))
+            if aug_mode:
+                out = run_aug(params, batch)
+            else:
+                g = global_batch(mesh, {
+                    'img': batch['img'], 'img_shape': batch['img_shape'],
+                    'scale_factor': batch['scale_factor']})
+                out = step(params, g['img'], g['img_shape'],
+                           g['scale_factor'])
+            pending.append((out, side, aug_mode))
+            n_disp += len(metas)
+            if show_progress:
+                print(f'\r{n_disp} local imgs dispatched', end='',
+                      flush=True)
+    results = []
+    for out, side, aug_mode in pending:
+        ori = np.asarray(side['ori_hw'])
+        pads = np.asarray(side['pad'])
+        metas = [dict(ori_shape=(int(h), int(w), 3)) for h, w in ori]
+        batch_res = []
+        _postprocess_batch(model, out, metas, num_classes, aug_mode,
+                           batch_res)
+        results.extend(r for r, p in zip(batch_res, pads) if not p)
     if show_progress:
         rate = len(results) / max(time.time() - t0, 1e-6)
         print(f'\r{len(results)} imgs, {rate:.1f} img/s', flush=True)

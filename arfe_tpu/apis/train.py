@@ -24,16 +24,22 @@ def set_random_seed(seed, deterministic=True):
 def _run_validation(model, params, val_loader, val_dataset, eval_cfg, mesh):
     """EvalHook equivalent: run inference on the val split and evaluate
     (ref: core/evaluation/eval_hooks.py:7-75)."""
+    import jax
+
     from .test import multi_device_test, single_device_test
     if getattr(model, 'test_cfg', None) is None:
         return {'val_skipped': 'model built without test_cfg'}
     if mesh is not None and mesh.size > 1:
-        # in-training eval rides the same mesh as the train step
+        # in-training eval rides the same mesh as the train step; on a
+        # multi-process run every host joins the jitted eval collectives
+        # and ends up holding the full result buffers
         results = multi_device_test(model, params, val_loader, mesh,
                                     show_progress=False)
     else:
         results = single_device_test(model, params, val_loader,
                                      show_progress=False)
+    if jax.process_index() != 0:
+        return {}
     metric = eval_cfg.get('metric', 'bbox')
     kwargs = {k: v for k, v in eval_cfg.items()
               if k not in ('interval', 'metric')}
@@ -76,10 +82,14 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
     if validate and data_cfg.get('val'):
         from ..data import build_dataset
         val_dataset = build_dataset(data_cfg['val'], dict(test_mode=True))
+        # one image per device per eval step; in a multi-process run every
+        # host loads its slice of each global batch (remainder batches are
+        # padded by the loader and dropped after the gather)
         val_loader = build_dataloader(
             val_dataset, samples_per_gpu=1,
             workers_per_gpu=data_cfg.get('workers_per_gpu', 2),
-            num_gpus=1, shuffle=False, test_mode=True)
+            num_gpus=len(jax.devices()), shuffle=False, test_mode=True,
+            num_replicas=world, rank=rank)
     loader = build_dataloader(
         dataset,
         samples_per_gpu=data_cfg.get('samples_per_gpu', 2),
@@ -87,11 +97,6 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
         num_gpus=len(jax.devices()),
         seed=cfg.get('seed', 0) or 0,
         num_replicas=world, rank=rank)
-    if world > 1 and val_loader is not None:
-        # in-train eval is not yet wired for multi-process runs (val
-        # compute would need all hosts in the same jitted program)
-        log('multi-host run: skipping in-train validation')
-        val_loader = None
     iters_per_epoch = len(loader)
     total_epochs = cfg.get('total_epochs', 12)
 

@@ -199,12 +199,28 @@ class DetDataLoader:
         return len(self.sampler)
 
     def _load_batch(self, pool, idxs):
+        n_pad = 0
         if self.num_replicas > 1:
+            idxs = list(idxs)
+            if len(idxs) < self.bs:
+                # pad the trailing remainder batch (test_mode, shuffle=False)
+                # to the full global size so every process feeds an equal
+                # slice; padded results are dropped via the meta 'pad' flag
+                n_pad = self.bs - len(idxs)
+                idxs = idxs + [idxs[-1]] * n_pad
             local = self.bs // self.num_replicas
-            idxs = idxs[self.rank * local:(self.rank + 1) * local]
+            lo = self.rank * local
+            local_pad = max(0, min(local, lo + local - (self.bs - n_pad)))
+            idxs = idxs[lo:lo + local]
+        else:
+            local_pad = 0
         samples = list(pool.map(self.dataset.__getitem__, idxs))
-        return collate_detection(samples, self.static_shapes, self.max_gt,
-                                 self.test_mode)
+        batch = collate_detection(samples, self.static_shapes, self.max_gt,
+                                  self.test_mode)
+        if local_pad:
+            for m in batch['img_metas'][len(idxs) - local_pad:]:
+                m['pad'] = True
+        return batch
 
     def __iter__(self):
         batches = list(self.sampler)
