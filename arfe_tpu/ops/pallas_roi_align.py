@@ -33,6 +33,10 @@ WH, WW = 48, 64
 # slop); only high-aspect / scale-clamped outliers need the full (48, 64).
 # DMA bytes drop 2.4x for the small bucket.
 SWH, SWW = 32, 40
+# third (tiny) bucket: in-level sqrt(area) spans 14-28, so roughly the
+# smaller half of RoIs (extent <= 22 rows / <= 23-30 cols after 8-aligned
+# x-origin slop) fits (24, 32) — another 1.6x fewer DMA bytes vs (32, 40).
+TWH, TWW = 24, 32
 
 
 def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
@@ -52,9 +56,16 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
         xo = pl.multiple_of(xo_ref[row], 8)
         sm = sm_ref[row]
         for k in range(num_levels):
-            # adaptive window: the common small bucket moves 2.4x fewer
+            # adaptive window: the small/tiny buckets move 2.4x/3.9x fewer
             # bytes; the kernel math is window-size agnostic (one-hot
             # weights never touch the stale region)
+            @pl.when((lvl == k) & (sm == 2))
+            def _():
+                pltpu.make_async_copy(
+                    feats[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
+                    win.at[slot, pl.ds(0, TWH), pl.ds(0, TWW)],
+                    sems.at[slot]).start()
+
             @pl.when((lvl == k) & (sm == 1))
             def _():
                 pltpu.make_async_copy(
@@ -89,6 +100,13 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
         start_dma(0, r)
         slot = 0
     # wait: descriptor shape is level-independent but window-size specific
+    @pl.when(sm_ref[r] == 2)
+    def _():
+        pltpu.make_async_copy(
+            f0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :],
+            win.at[slot, pl.ds(0, TWH), pl.ds(0, TWW)],
+            sems.at[slot]).wait()
+
     @pl.when(sm_ref[r] == 1)
     def _():
         pltpu.make_async_copy(
@@ -128,38 +146,19 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
     out_ref[0] = pooled.astype(out_ref.dtype)
 
 
-def roi_align_pallas(feats, rois, out_size=(7, 7),
-                     featmap_strides=(4, 8, 16, 32), finest_scale=56,
-                     sample_num=2, aligned=True, target_lvls=None,
-                     double_buffer=True):
-    """Drop-in for ops.roi_align.roi_align_pyramid (4-level FPN case).
+def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
+                 featmap_strides, finest_scale, out_size, sample_num,
+                 aligned):
+    """Shared fwd/bwd coordinate prep: sampling-grid bilinear params,
+    adaptive window-bucket selection, and the packed scalar-prefetch /
+    vector-block arrays the kernels consume.
 
-    feats: list of 4 NHWC arrays; rois (R, 5). Returns (R, oh, ow, C) f32.
+    Returns (lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec).
     """
-    if isinstance(out_size, int):
-        out_size = (out_size, out_size)
-    if sample_num <= 0:
-        sample_num = 2
     oh, ow = out_size
     sn = sample_num
     ns = oh * sn
-    assert ns <= 16, 'vector block packs up to 16 samples per axis'
     num_levels = len(featmap_strides)
-    assert num_levels == 4, 'pallas kernel is specialized to 4 levels'
-    feats = list(feats[:num_levels])
-    b, _, _, c = feats[0].shape
-    real_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
-                          np.int32)
-    # pad small levels so a full window always exists (coordinate clipping
-    # below still uses the REAL sizes)
-    for i, f in enumerate(feats):
-        ph = max(0, WH - f.shape[1])
-        pw = max(0, WW - f.shape[2])
-        if ph or pw:
-            feats[i] = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    pad_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
-                         np.int32)
-
     if target_lvls is None:
         target_lvls = map_roi_levels(rois, num_levels, finest_scale)
     lvl_h = jnp.asarray(real_sizes[:, 0])[target_lvls].astype(jnp.float32)
@@ -210,38 +209,85 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
         w1 = w1 * valid
         return org.astype(jnp.int32), i0, i1, w0, w1
 
-    yorg, y0r, y1r, wy0, wy1 = axis_params(ys, lvl_h, pad_h, WH,
-                                           pair_mode=True)
-    xorg, x0r, x1r, wx0, wx1 = axis_params(xs, lvl_w, pad_w, WW, align=8)
-    # adaptive small-window bucket (see _kernel): exact whenever the
-    # sample extents fit (SWH, SWW) unclipped
-    yorg_s, y0r_s, y1r_s, wy0_s, wy1_s = axis_params(
-        ys, lvl_h, pad_h, SWH, pair_mode=True)
-    xorg_s, x0r_s, x1r_s, wx0_s, wx1_s = axis_params(
-        xs, lvl_w, pad_w, SWW, align=8)
+    # adaptive window buckets (see _kernel): a bucket is exact whenever
+    # the sample extents fit its window unclipped; pick the smallest
+    # fitting bucket per RoI (sm: 2 = tiny, 1 = small, 0 = full)
     cc_y = jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0)
     cc_x = jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0)
-    small = ((cc_y.max(-1) - yorg_s) <= SWH - 2) & \
-        ((cc_x.max(-1) - xorg_s) <= SWW - 2)
-    sm_arr = small.astype(jnp.int32)
+    sm_arr = None
+    picked = None
+    fitted = None
+    for code, (bwh, bww) in ((2, (TWH, TWW)), (1, (SWH, SWW)),
+                             (0, (WH, WW))):
+        yp = axis_params(ys, lvl_h, pad_h, bwh, pair_mode=True)
+        xp = axis_params(xs, lvl_w, pad_w, bww, align=8)
+        cand = yp + xp
+        if code != 0:
+            fits = ((cc_y.max(-1) - yp[0]) <= bwh - 2) & \
+                ((cc_x.max(-1) - xp[0]) <= bww - 2)
+            take = fits if picked is None else (fits & ~fitted)
+            if picked is None:
+                picked, fitted = cand, fits
+                sm_arr = jnp.where(fits, code, 0).astype(jnp.int32)
+            else:
+                picked = tuple(
+                    jnp.where(take[:, None] if p.ndim == 2 else take,
+                              c_, p)
+                    for c_, p in zip(cand, picked))
+                fitted = fitted | fits
+                sm_arr = jnp.where(take, code, sm_arr)
+        else:
+            take = ~fitted
+            picked = tuple(
+                jnp.where(take[:, None] if p.ndim == 2 else take, c_, p)
+                for c_, p in zip(cand, picked))
+    (yorg, y0r, y1r, wy0, wy1, xorg, x0r, x1r, wx0, wx1) = picked
 
-    def sel(s, l):
-        return jnp.where(small[:, None] if s.ndim == 2 else small, s, l)
-
-    yorg = sel(yorg_s, yorg)
-    xorg = sel(xorg_s, xorg)
-    y0r, y1r = sel(y0r_s, y0r), sel(y1r_s, y1r)
-    wy0, wy1 = sel(wy0_s, wy0), sel(wy1_s, wy1)
-    x0r, x1r = sel(x0r_s, x0r), sel(x1r_s, x1r)
-    wx0, wx1 = sel(wx0_s, wx0), sel(wx1_s, wx1)
-
-    r = rois.shape[0]
     lvl_arr = target_lvls.astype(jnp.int32)
     b_arr = rois[:, 0].astype(jnp.int32)
     y0_flat = y0r.astype(jnp.int32).reshape(-1)   # (R*ns,)
     pad_cols = 16 - ns
     vec = jnp.stack([y0r, y1r, wy0, wy1, x0r, x1r, wx0, wx1], axis=1)
     vec = jnp.pad(vec, ((0, 0), (0, 0), (0, pad_cols)))    # (R, 8, 16)
+    return lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec
+
+
+def roi_align_pallas(feats, rois, out_size=(7, 7),
+                     featmap_strides=(4, 8, 16, 32), finest_scale=56,
+                     sample_num=2, aligned=True, target_lvls=None,
+                     double_buffer=True):
+    """Drop-in for ops.roi_align.roi_align_pyramid (4-level FPN case).
+
+    feats: list of 4 NHWC arrays; rois (R, 5). Returns (R, oh, ow, C) f32.
+    """
+    if isinstance(out_size, int):
+        out_size = (out_size, out_size)
+    if sample_num <= 0:
+        sample_num = 2
+    oh, ow = out_size
+    sn = sample_num
+    ns = oh * sn
+    assert ns <= 16, 'vector block packs up to 16 samples per axis'
+    num_levels = len(featmap_strides)
+    assert num_levels == 4, 'pallas kernel is specialized to 4 levels'
+    feats = list(feats[:num_levels])
+    b, _, _, c = feats[0].shape
+    real_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
+                          np.int32)
+    # pad small levels so a full window always exists (coordinate clipping
+    # in _window_prep still uses the REAL sizes)
+    for i, f in enumerate(feats):
+        ph = max(0, WH - f.shape[1])
+        pw = max(0, WW - f.shape[2])
+        if ph or pw:
+            feats[i] = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    pad_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
+                         np.int32)
+
+    r = rois.shape[0]
+    (lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec) = _window_prep(
+        rois, real_sizes, pad_sizes, target_lvls, featmap_strides,
+        finest_scale, out_size, sn, aligned)
 
     kernel = functools.partial(_kernel, out_size=out_size,
                                sample_num=sn, c=c,
@@ -353,9 +399,9 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     """Scatter-transpose of :func:`_kernel`: per RoI, read-modify-write
     its gradient-buffer window. Strictly serialized (no double
     buffering) — consecutive RoI windows may overlap, so each write must
-    land before the next read. Adaptive window: RoIs whose samples fit
-    the (SWH, SWW) bucket (sm=1, the common case) move 2.4x fewer bytes
-    than the worst-case (WH, WW) window."""
+    land before the next read. Adaptive window: RoIs take the smallest
+    fitting bucket (sm=2 tiny (TWH, TWW) / 1 small (SWH, SWW) / 0 full),
+    moving up to 4x fewer bytes than the worst-case window."""
     del z0, z1, z2, z3  # aliased to o0..o3; accumulate through the outs
     r = pl.program_id(0)
     outs = (o0, o1, o2, o3)
@@ -365,6 +411,12 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     xo = pl.multiple_of(xo_ref[r], 8)
     sm = sm_ref[r]
     for k in range(4):
+        @pl.when((lvl == k) & (sm == 2))
+        def _():
+            pltpu.make_async_copy(
+                outs[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
+                win.at[pl.ds(0, TWH), pl.ds(0, TWW)], rsem).start()
+
         @pl.when((lvl == k) & (sm == 1))
         def _():
             pltpu.make_async_copy(
@@ -376,6 +428,12 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
             pltpu.make_async_copy(
                 outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
                 win, rsem).start()
+
+    @pl.when(sm == 2)
+    def _():
+        pltpu.make_async_copy(
+            o0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :],
+            win.at[pl.ds(0, TWH), pl.ds(0, TWW)], rsem).wait()
 
     @pl.when(sm == 1)
     def _():
@@ -420,6 +478,13 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     win[...] = win[...] + win_add.reshape(WH, WW, c)
 
     for k in range(4):
+        @pl.when((lvl == k) & (sm == 2))
+        def _():
+            pltpu.make_async_copy(
+                win.at[pl.ds(0, TWH), pl.ds(0, TWW)],
+                outs[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
+                wsem).start()
+
         @pl.when((lvl == k) & (sm == 1))
         def _():
             pltpu.make_async_copy(
@@ -432,6 +497,12 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
             pltpu.make_async_copy(
                 win, outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
                 wsem).start()
+
+    @pl.when(sm == 2)
+    def _():
+        pltpu.make_async_copy(
+            win.at[pl.ds(0, TWH), pl.ds(0, TWW)],
+            o0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :], wsem).wait()
 
     @pl.when(sm == 1)
     def _():
@@ -453,14 +524,14 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
     window DMA accumulate, strictly serialized because neighboring RoI
     windows may overlap.
 
-    Measured at train shapes (2048 rois, C=256): 27.8 ms — parity with,
-    not a win over, XLA's autodiff scatter (28 ms), because the fixed
-    (48, 64) worst-case window moves ~3.1 MB per RoI each way
-    (~12.7 GB total) regardless of the RoI's true extent. The default
-    backward therefore stays on the jnp vjp (:func:`_raa_bwd`); going
-    faster needs per-RoI adaptive window sizes (future work). Kept as
-    the verified scatter-free formulation and transpose oracle
-    (levels whose RoIs never clip match jnp autodiff exactly).
+    The fixed-(48, 64)-window variant only reached parity with XLA's
+    autodiff scatter (27.8 vs 28 ms at 2048 rois) because it moved
+    ~3.1 MB per RoI each way regardless of extent. The adaptive
+    (24, 32)/(32, 40)/(48, 64) buckets break that floor: 64.9 ms vs
+    XLA's 139.1 at 8000 rois (2.14x), so this is the DEFAULT backward
+    (:func:`_raa_bwd`; ARFE_TPU_PALLAS_ROI_BWD=0 reverts to the jnp
+    vjp). Also the transpose oracle: levels whose RoIs never clip
+    match jnp autodiff exactly.
 
     Args:
         g: (R, oh, ow, C) cotangent.
@@ -484,87 +555,10 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
     pad_sizes = np.array([(max(s[1], WH), max(s[2], WW))
                           for s in feat_shapes], np.int32)
 
-    # --- identical coordinate prep to roi_align_pallas ---
-    if target_lvls is None:
-        target_lvls = map_roi_levels(rois, num_levels, finest_scale)
-    lvl_h = jnp.asarray(real_sizes[:, 0])[target_lvls].astype(jnp.float32)
-    lvl_w = jnp.asarray(real_sizes[:, 1])[target_lvls].astype(jnp.float32)
-    pad_h = jnp.asarray(pad_sizes[:, 0])[target_lvls].astype(jnp.float32)
-    pad_w = jnp.asarray(pad_sizes[:, 1])[target_lvls].astype(jnp.float32)
-    scales = jnp.asarray(
-        np.array([1.0 / s for s in featmap_strides], np.float32))
-    lvl_scale = scales[target_lvls]
-    offset = 0.5 if aligned else 0.0
-    x1 = rois[:, 1] * lvl_scale - offset
-    y1 = rois[:, 2] * lvl_scale - offset
-    x2 = rois[:, 3] * lvl_scale - offset
-    y2 = rois[:, 4] * lvl_scale - offset
-    roi_w = x2 - x1
-    roi_h = y2 - y1
-    if not aligned:
-        roi_w = jnp.maximum(roi_w, 1.0)
-        roi_h = jnp.maximum(roi_h, 1.0)
-    grid_pos = (np.arange(ns) // sn) + ((np.arange(ns) % sn) + 0.5) / sn
-    grid_pos = jnp.asarray(grid_pos, jnp.float32)
-    ys = y1[:, None] + grid_pos[None, :] * (roi_h / oh)[:, None]
-    xs = x1[:, None] + grid_pos[None, :] * (roi_w / ow)[:, None]
-
-    def axis_params(coord, size, pad_size, wsize, align=1, pair_mode=False):
-        valid = (coord > -1.0) & (coord < size[:, None])
-        cc = jnp.clip(coord, 0.0, size[:, None] - 1.0)
-        org = jnp.clip(jnp.floor(cc[:, 0]), 0,
-                       jnp.maximum(pad_size - wsize, 0.0))
-        if align > 1:
-            org = jnp.floor(org / align) * align
-        rel = jnp.clip(cc - org[:, None], 0.0, wsize - 1.0)
-        i0 = jnp.floor(rel)
-        if pair_mode:
-            i0 = jnp.minimum(i0, wsize - 2.0)
-            i1 = i0 + 1.0
-        else:
-            i1 = jnp.minimum(jnp.minimum(i0 + 1.0,
-                                         size[:, None] - org[:, None]
-                                         - 1.0), wsize - 1.0)
-            i1 = jnp.maximum(i1, i0)
-        w1 = rel - i0
-        w0 = (1.0 - w1) * valid
-        w1 = w1 * valid
-        return org.astype(jnp.int32), i0, i1, w0, w1
-
-    yorg, y0r, y1r, wy0, wy1 = axis_params(ys, lvl_h, pad_h, WH,
-                                           pair_mode=True)
-    xorg, x0r, x1r, wx0, wx1 = axis_params(xs, lvl_w, pad_w, WW, align=8)
-    # adaptive small-window bucket: recompute with (SWH, SWW) and take it
-    # for every RoI whose sample extents fully fit (no clipping), i.e.
-    # max(cc - org_s) <= wsize - 2 on both axes
-    yorg_s, y0r_s, y1r_s, wy0_s, wy1_s = axis_params(
-        ys, lvl_h, pad_h, SWH, pair_mode=True)
-    xorg_s, x0r_s, x1r_s, wx0_s, wx1_s = axis_params(
-        xs, lvl_w, pad_w, SWW, align=8)
-    cc_y = jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0)
-    cc_x = jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0)
-    fits_y = (cc_y.max(-1) - yorg_s) <= SWH - 2
-    fits_x = (cc_x.max(-1) - xorg_s) <= SWW - 2
-    small = (fits_y & fits_x)
-    sm_arr = small.astype(jnp.int32)
-
-    def sel(s, l):
-        return jnp.where(small[:, None] if s.ndim == 2 else small, s, l)
-
-    yorg = sel(yorg_s, yorg)
-    xorg = sel(xorg_s, xorg)
-    y0r, y1r = sel(y0r_s, y0r), sel(y1r_s, y1r)
-    wy0, wy1 = sel(wy0_s, wy0), sel(wy1_s, wy1)
-    x0r, x1r = sel(x0r_s, x0r), sel(x1r_s, x1r)
-    wx0, wx1 = sel(wx0_s, wx0), sel(wx1_s, wx1)
-
     r = rois.shape[0]
-    lvl_arr = target_lvls.astype(jnp.int32)
-    b_arr = rois[:, 0].astype(jnp.int32)
-    pad_cols = 16 - ns
-    vec = jnp.stack([y0r, y1r, wy0, wy1, x0r, x1r, wx0, wx1], axis=1)
-    vec = jnp.pad(vec, ((0, 0), (0, 0), (0, pad_cols)))
-    # --- end shared prep ---
+    (lvl_arr, b_arr, yorg, xorg, sm_arr, _y0_flat, vec) = _window_prep(
+        rois, real_sizes, pad_sizes, target_lvls, featmap_strides,
+        finest_scale, out_size, sn, aligned)
 
     zeros = [jnp.zeros((b, int(ph), int(pw), c), jnp.float32)
              for ph, pw in pad_sizes]
