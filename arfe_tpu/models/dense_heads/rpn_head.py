@@ -37,11 +37,17 @@ class RPNHead(AnchorHead):
                 'rpn_cls': self.rpn_cls.init(k2),
                 'rpn_reg': self.rpn_reg.init(k3)}
 
-    def forward_single(self, params, x):
-        x = jax.nn.relu(self.rpn_conv(params['rpn_conv'], x))
-        # cls and reg 1x1 convs read the same feature map; run them as ONE
-        # conv with stacked output channels (XLA does not fuse sibling
-        # convs) and split — stored params stay separate
+    def shared_single(self, params, x):
+        """The per-level shared 3x3 conv + relu feeding both head convs."""
+        return jax.nn.relu(self.rpn_conv(params['rpn_conv'], x))
+
+    def heads_single(self, params, x):
+        """NHWC cls/reg 1x1 convs on a shared feature (the loss layout).
+
+        The two convs read the same feature map; run them as ONE conv
+        with stacked output channels (XLA does not fuse sibling convs)
+        and split — stored params stay separate.
+        """
         pc, pr = params['rpn_cls'], params['rpn_reg']
         w = jnp.concatenate([pc['weight'], pr['weight']], axis=-1)
         b = jnp.concatenate([pc['bias'], pr['bias']])
@@ -50,6 +56,9 @@ class RPNHead(AnchorHead):
             dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(x.dtype)
         n_cls = self.num_anchors * self.cls_out_channels
         return out[..., :n_cls], out[..., n_cls:]
+
+    def forward_single(self, params, x):
+        return self.heads_single(params, self.shared_single(params, x))
 
     def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, img_shapes,
              key):
@@ -74,7 +83,6 @@ class RPNHead(AnchorHead):
         featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
         nms_pre = cfg.get('nms_pre', -1)
-        nms_post = cfg.get('nms_post', cfg.get('max_num', 1000))
 
         scores_l, preds_l, anchors_l, counts = [], [], [], []
         for lvl, (cls_score, bbox_pred, anchors) in enumerate(
@@ -99,7 +107,84 @@ class RPNHead(AnchorHead):
             preds_l.append(preds)
             anchors_l.append(anc)
             counts.append(scores.shape[1])
+        return self._finish_proposals(scores_l, preds_l, anchors_l, counts,
+                                      img_shapes, cfg)
 
+    def get_proposals(self, params, feats, img_shapes, cfg=None,
+                      shared=None):
+        """Feature-direct proposal path (used by the two-stage detectors
+        instead of ``forward`` + :meth:`get_bboxes`).
+
+        Computes the 1x1 cls/reg heads CHANNEL-MAJOR ((B, A*co, H*W) via
+        dot_general instead of NHWC convs) so the per-level flatten feeding
+        top-k never untiles a 3/12-channel lane-padded tensor — measured
+        ~9 ms/iter at bs8 flagship purely in layout copies on the NHWC
+        path. Candidates are numerically identical to :meth:`get_bboxes`;
+        per-level candidate order is (anchor, position) instead of the
+        reference's (position, anchor), which can only reorder exact
+        score ties. Top-k runs on logits (sigmoid/softmax-fg are
+        monotone); kept scores are identical.
+
+        Args:
+            shared: optional precomputed per-level ``shared_single``
+                outputs (lets ``forward_train`` reuse the 3x3 conv).
+        """
+        cfg = self.test_cfg if cfg is None else cfg
+        if shared is None:
+            shared = [self.shared_single(params, f) for f in feats]
+        featmap_sizes = [(f.shape[1], f.shape[2]) for f in shared]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+        num_a = self.num_anchors
+        co = self.cls_out_channels
+        pc, pr = params['rpn_cls'], params['rpn_reg']
+        w_cls = pc['weight'].reshape(-1, pc['weight'].shape[-1])  # (C, A*co)
+        w_reg = pr['weight'].reshape(-1, pr['weight'].shape[-1])  # (C, A*4)
+        scores_l, preds_l, anchors_l, counts = [], [], [], []
+        for x, anchors in zip(shared, mlvl_anchors):
+            b, h, w, c = x.shape
+            hw = h * w
+            xf = x.reshape(b, hw, c)
+            cls_t = (jnp.einsum('bxc,ck->bkx', xf, w_cls.astype(xf.dtype))
+                     + pc['bias'].astype(xf.dtype)[:, None])
+            reg_t = (jnp.einsum('bxc,ck->bkx', xf, w_reg.astype(xf.dtype))
+                     + pr['bias'].astype(xf.dtype)[:, None])
+            cls_t = cls_t.astype(jnp.float32)
+            reg_t = reg_t.astype(jnp.float32)
+            if self.use_sigmoid_cls:
+                logits = cls_t.reshape(b, num_a * hw)
+            else:
+                # softmax fg prob over (fg, bg) pairs == sigmoid(l0 - l1):
+                # monotone, and sigmoid(kept) IS the softmax fg score
+                lt = cls_t.reshape(b, num_a, 2, hw)
+                logits = (lt[:, :, 0] - lt[:, :, 1]).reshape(b, num_a * hw)
+            preds = reg_t.reshape(b, num_a, 4, hw).transpose(0, 2, 1, 3) \
+                .reshape(b, 4, num_a * hw)
+            # reorder the anchor table to the (anchor, position) candidate
+            # order (trace-time constant fold)
+            anchors = jnp.asarray(anchors).reshape(hw, num_a, 4) \
+                .transpose(1, 0, 2).reshape(num_a * hw, 4)
+            hwa = num_a * hw
+            if nms_pre > 0 and hwa > nms_pre:
+                lg, idx = jax.lax.top_k(logits, nms_pre)
+                scores = jax.nn.sigmoid(lg)
+                prd = jnp.take_along_axis(preds, idx[:, None, :], axis=2) \
+                    .transpose(0, 2, 1)
+                anc = anchors[idx]
+            else:
+                scores = jax.nn.sigmoid(logits)
+                prd = preds.transpose(0, 2, 1)
+                anc = jnp.broadcast_to(anchors[None], (b, hwa, 4))
+            scores_l.append(scores)
+            preds_l.append(prd)
+            anchors_l.append(anc)
+            counts.append(scores.shape[1])
+        return self._finish_proposals(scores_l, preds_l, anchors_l, counts,
+                                      img_shapes, cfg)
+
+    def _finish_proposals(self, scores_l, preds_l, anchors_l, counts,
+                          img_shapes, cfg):
+        nms_post = cfg.get('nms_post', cfg.get('max_num', 1000))
         # pad every level to a common candidate count so the per-level NMS
         # runs as ONE vmapped (B*L, K) problem: with level-keyed
         # suppression, per-level NMS is exactly the reference's batched

@@ -61,17 +61,33 @@ class TwoStageDetector(Module):
         losses = {}
         k_rpn, k_rcnn = jax.random.split(key)
         if self.with_rpn:
-            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-            losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
-                                             gt_bboxes, gt_valid, img_shapes,
-                                             k_rpn))
             proposal_cfg = (self.train_cfg.get('rpn_proposal')
                             if self.train_cfg else None) \
                 or (self.test_cfg.get('rpn') if self.test_cfg else None)
-            props, prop_valid = self.rpn_head.get_bboxes(
-                [jax.lax.stop_gradient(s) for s in cls_scores],
-                [jax.lax.stop_gradient(p) for p in bbox_preds],
-                img_shapes, cfg=proposal_cfg)
+            if hasattr(self.rpn_head, 'get_proposals'):
+                # channel-major proposal path, reusing the shared 3x3 conv
+                # (see RPNHead.get_proposals)
+                shared = [self.rpn_head.shared_single(params['rpn_head'], f)
+                          for f in x]
+                outs = [self.rpn_head.heads_single(params['rpn_head'], s)
+                        for s in shared]
+                cls_scores = [o[0] for o in outs]
+                bbox_preds = [o[1] for o in outs]
+                losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
+                                                 gt_bboxes, gt_valid,
+                                                 img_shapes, k_rpn))
+                props, prop_valid = self.rpn_head.get_proposals(
+                    params['rpn_head'], x, img_shapes, cfg=proposal_cfg,
+                    shared=[jax.lax.stop_gradient(s) for s in shared])
+            else:
+                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+                losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
+                                                 gt_bboxes, gt_valid,
+                                                 img_shapes, k_rpn))
+                props, prop_valid = self.rpn_head.get_bboxes(
+                    [jax.lax.stop_gradient(s) for s in cls_scores],
+                    [jax.lax.stop_gradient(p) for p in bbox_preds],
+                    img_shapes, cfg=proposal_cfg)
         else:
             raise ValueError('forward_train without RPN requires proposals')
         extra = {}
@@ -88,9 +104,13 @@ class TwoStageDetector(Module):
         """Batched two-stage inference (ref: two_stage.py:236-330)."""
         x = self.extract_feat(params, img)
         if proposals is None:
-            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-            props, prop_valid = self.rpn_head.get_bboxes(
-                cls_scores, bbox_preds, img_shapes)
+            if hasattr(self.rpn_head, 'get_proposals'):
+                props, prop_valid = self.rpn_head.get_proposals(
+                    params['rpn_head'], x, img_shapes)
+            else:
+                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+                props, prop_valid = self.rpn_head.get_bboxes(
+                    cls_scores, bbox_preds, img_shapes)
         else:
             props, prop_valid = proposals
         return self.roi_head.simple_test(params['roi_head'], x, props,
@@ -113,9 +133,13 @@ class TwoStageDetector(Module):
         feats = [self.extract_feat(params, img) for img in aug_imgs]
         aug_props, aug_valid = [], []
         for x, shapes in zip(feats, aug_img_shapes):
-            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-            props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
-                                                    shapes)
+            if hasattr(self.rpn_head, 'get_proposals'):
+                props, valid = self.rpn_head.get_proposals(
+                    params['rpn_head'], x, shapes)
+            else:
+                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+                props, valid = self.rpn_head.get_bboxes(
+                    cls_scores, bbox_preds, shapes)
             aug_props.append(props)
             aug_valid.append(valid)
         merged, mvalid = merge_aug_proposals(
@@ -198,9 +222,13 @@ class RPN(Module):
     def simple_test(self, params, img, img_shapes, scale_factors,
                     rescale=False):
         x = self.extract_feat(params, img)
-        cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-        props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
-                                                img_shapes)
+        if hasattr(self.rpn_head, 'get_proposals'):
+            props, valid = self.rpn_head.get_proposals(
+                params['rpn_head'], x, img_shapes)
+        else:
+            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
+            props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
+                                                    img_shapes)
         if rescale:
             props = props.at[..., :4].divide(scale_factors[:, None, :4])
         return props, valid
