@@ -14,10 +14,16 @@ import jax.numpy as jnp
 from ...registry import BBOX_SAMPLERS
 
 
-def _rank_of(priority):
-    """rank[i] = position of i in ascending sort of priority."""
-    order = jnp.argsort(priority)
-    return jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+def _pick_k_smallest(priority, k_static, limit):
+    """Indices of the ``limit`` (dynamic, <= k_static) smallest finite
+    priorities: (idx (k,), ok (k,) bool). top_k instead of a full argsort —
+    ranking 268k RPN anchors per image via argsort dominated the train-step
+    target assignment."""
+    n = priority.shape[0]
+    k = min(k_static, n)
+    negvals, idx = jax.lax.top_k(-priority, k)
+    ok = (jnp.arange(k) < limit) & jnp.isfinite(negvals)
+    return idx, ok
 
 
 class BaseStaticSampler:
@@ -56,41 +62,44 @@ class BaseStaticSampler:
                  is_pos (num,) bool, valid (num,) bool)
         """
         n = assigned_gt_inds.shape[0]
-        kp, kn, kc = jax.random.split(key, 3)
+        kp, kn = jax.random.split(key)
         pos_cand = assigned_gt_inds > 0
         neg_cand = assigned_gt_inds == 0
         ctx = dict(ctx, assigned_gt_inds=assigned_gt_inds)
 
         num_expected_pos = int(self.num * self.pos_fraction)
-        pos_rank = _rank_of(self._pos_priority(kp, pos_cand, ctx))
         num_pos_avail = pos_cand.sum()
         num_pos = jnp.minimum(num_expected_pos, num_pos_avail)
-        sel_pos = pos_cand & (pos_rank < num_pos)
+        pos_idx, pos_ok = _pick_k_smallest(
+            self._pos_priority(kp, pos_cand, ctx), num_expected_pos,
+            num_pos)
 
         num_neg_avail = neg_cand.sum()
         num_neg_expected = self.num - num_pos
         if self.neg_pos_ub >= 0:
             num_neg_expected = jnp.minimum(
                 num_neg_expected, jnp.maximum(1, num_pos * self.neg_pos_ub))
-        neg_rank = _rank_of(self._neg_priority(kn, neg_cand, ctx))
         num_neg = jnp.minimum(num_neg_expected, num_neg_avail)
-        sel_neg = neg_cand & (neg_rank < num_neg)
+        neg_idx, neg_ok = _pick_k_smallest(
+            self._neg_priority(kn, neg_cand, ctx), self.num, num_neg)
 
-        # compress selected candidates into `num` fixed slots
-        score = (2.0 * sel_pos + 1.0 * sel_neg
-                 + 1e-4 * jax.random.uniform(kc, (n,)))
-        k = min(self.num, n)
-        _, inds = jax.lax.top_k(score, k)
-        if k < self.num:
-            inds = jnp.concatenate(
-                [inds, jnp.zeros((self.num - k,), inds.dtype)])
-        picked = score[inds]
+        # compress into `num` fixed slots: selected positives first, then
+        # negatives (slot order is irrelevant downstream — consumers pair
+        # `inds` with the is_pos/valid masks)
+        cand_idx = jnp.concatenate([pos_idx, neg_idx])
+        cand_score = jnp.concatenate(
+            [2.0 * pos_ok.astype(jnp.float32),
+             1.0 * neg_ok.astype(jnp.float32)])
+        k = min(self.num, cand_idx.shape[0])
+        picked, slot = jax.lax.top_k(cand_score, k)
+        inds = cand_idx[slot]
         is_pos = picked >= 2.0
         valid = picked >= 1.0
         if k < self.num:
-            slot_ok = jnp.arange(self.num) < k
-            is_pos = is_pos & slot_ok
-            valid = valid & slot_ok
+            pad = self.num - k
+            inds = jnp.concatenate([inds, jnp.zeros((pad,), inds.dtype)])
+            is_pos = jnp.concatenate([is_pos, jnp.zeros((pad,), bool)])
+            valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
         return dict(inds=inds.astype(jnp.int32), is_pos=is_pos, valid=valid)
 
 

@@ -267,14 +267,44 @@ class AnchorHead(Module):
         bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         b = cls_scores[0].shape[0]
         featmap_sizes = [(s.shape[1], s.shape[2]) for s in cls_scores]
+        anchors, flags = self._flat_anchor_table(featmap_sizes)
+        cls_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.cls_out_channels) for s in cls_scores],
+            axis=1)
+        box_flat = jnp.concatenate(
+            [p.reshape(b, -1, 4) for p in bbox_preds], axis=1)
+        return self._loss_from_flat(anchors, flags, cls_flat, box_flat,
+                                    gt_bboxes, gt_valid, gt_labels,
+                                    img_shapes, key)
+
+    def _flat_anchor_table(self, featmap_sizes, anchor_major=False):
+        """Concatenated anchor table + pad-shape valid flags (trace-time
+        numpy constants). ``anchor_major=True`` reorders each level from
+        the reference's (position, anchor) to (anchor, position) candidate
+        order — the order channel-major head outputs flatten to."""
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
-        anchors = jnp.asarray(np.concatenate(mlvl_anchors, axis=0))
-        # pad-shape valid flags: batch-static (padded batches share pad shape)
         pad_shape = (featmap_sizes[0][0] * self.anchor_generator.strides[0][0],
                      featmap_sizes[0][1] * self.anchor_generator.strides[0][1])
-        flags = jnp.asarray(np.concatenate(
-            self.anchor_generator.valid_flags(featmap_sizes, pad_shape)))
+        mlvl_flags = self.anchor_generator.valid_flags(featmap_sizes,
+                                                       pad_shape)
+        if anchor_major:
+            num_a = self.num_anchors
+            mlvl_anchors = [
+                a.reshape(-1, num_a, 4).transpose(1, 0, 2).reshape(-1, 4)
+                for a in mlvl_anchors]
+            mlvl_flags = [
+                np.asarray(f).reshape(-1, num_a).T.reshape(-1)
+                for f in mlvl_flags]
+        anchors = jnp.asarray(np.concatenate(mlvl_anchors, axis=0))
+        flags = jnp.asarray(np.concatenate(mlvl_flags))
+        return anchors, flags
 
+    def _loss_from_flat(self, anchors, flags, cls_flat, box_flat, gt_bboxes,
+                        gt_valid, gt_labels, img_shapes, key):
+        """Loss tail over concatenated flat outputs: per-image target
+        assignment + cls/bbox losses. cls_flat (B, N, co), box_flat
+        (B, N, 4) must be in the same candidate order as ``anchors``."""
+        b = cls_flat.shape[0]
         keys = jax.random.split(key, b)
         if gt_labels is None:
             def tgt(k, gb, gv, shape):
@@ -293,11 +323,8 @@ class AnchorHead(Module):
         num_total_samples = (num_total_pos + num_total_neg if self.sampling
                              else num_total_pos).astype(jnp.float32)
 
-        cls_flat = jnp.concatenate(
-            [s.reshape(b, -1, self.cls_out_channels) for s in cls_scores],
-            axis=1).reshape(-1, self.cls_out_channels)
-        box_flat = jnp.concatenate(
-            [p.reshape(b, -1, 4) for p in bbox_preds], axis=1).reshape(-1, 4)
+        cls_flat = cls_flat.reshape(-1, self.cls_out_channels)
+        box_flat = box_flat.reshape(-1, 4)
         labels = labels.reshape(-1)
         label_weights = label_weights.reshape(-1)
         bbox_targets = bbox_targets.reshape(-1, 4)

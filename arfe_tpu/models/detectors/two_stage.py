@@ -65,17 +65,13 @@ class TwoStageDetector(Module):
                             if self.train_cfg else None) \
                 or (self.test_cfg.get('rpn') if self.test_cfg else None)
             if hasattr(self.rpn_head, 'get_proposals'):
-                # channel-major proposal path, reusing the shared 3x3 conv
-                # (see RPNHead.get_proposals)
+                # channel-major loss + proposal paths sharing the 3x3 conv
+                # (see RPNHead.get_proposals / loss_from_shared)
                 shared = [self.rpn_head.shared_single(params['rpn_head'], f)
                           for f in x]
-                outs = [self.rpn_head.heads_single(params['rpn_head'], s)
-                        for s in shared]
-                cls_scores = [o[0] for o in outs]
-                bbox_preds = [o[1] for o in outs]
-                losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
-                                                 gt_bboxes, gt_valid,
-                                                 img_shapes, k_rpn))
+                losses.update(self.rpn_head.loss_from_shared(
+                    params['rpn_head'], shared, gt_bboxes, gt_valid,
+                    img_shapes, k_rpn))
                 props, prop_valid = self.rpn_head.get_proposals(
                     params['rpn_head'], x, img_shapes, cfg=proposal_cfg,
                     shared=[jax.lax.stop_gradient(s) for s in shared])
