@@ -76,14 +76,16 @@ class TwoStageDetector(Module):
                     params['rpn_head'], x, img_shapes, cfg=proposal_cfg,
                     shared=[jax.lax.stop_gradient(s) for s in shared])
             else:
-                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-                losses.update(self.rpn_head.loss(cls_scores, bbox_preds,
-                                                 gt_bboxes, gt_valid,
+                # generic path (e.g. GARPNHead returns 4 per-level tuples:
+                # cls, bbox, shape, loc — loss/get_bboxes take them all)
+                outs = self.rpn_head(params['rpn_head'], x)
+                losses.update(self.rpn_head.loss(*outs, gt_bboxes, gt_valid,
                                                  img_shapes, k_rpn))
+                outs_sg = tuple(
+                    [jax.lax.stop_gradient(t) for t in branch]
+                    for branch in outs)
                 props, prop_valid = self.rpn_head.get_bboxes(
-                    [jax.lax.stop_gradient(s) for s in cls_scores],
-                    [jax.lax.stop_gradient(p) for p in bbox_preds],
-                    img_shapes, cfg=proposal_cfg)
+                    *outs_sg, img_shapes, cfg=proposal_cfg)
         else:
             raise ValueError('forward_train without RPN requires proposals')
         extra = {}
@@ -104,9 +106,9 @@ class TwoStageDetector(Module):
                 props, prop_valid = self.rpn_head.get_proposals(
                     params['rpn_head'], x, img_shapes)
             else:
-                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-                props, prop_valid = self.rpn_head.get_bboxes(
-                    cls_scores, bbox_preds, img_shapes)
+                outs = self.rpn_head(params['rpn_head'], x)
+                props, prop_valid = self.rpn_head.get_bboxes(*outs,
+                                                             img_shapes)
         else:
             props, prop_valid = proposals
         return self.roi_head.simple_test(params['roi_head'], x, props,
@@ -133,9 +135,8 @@ class TwoStageDetector(Module):
                 props, valid = self.rpn_head.get_proposals(
                     params['rpn_head'], x, shapes)
             else:
-                cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-                props, valid = self.rpn_head.get_bboxes(
-                    cls_scores, bbox_preds, shapes)
+                outs = self.rpn_head(params['rpn_head'], x)
+                props, valid = self.rpn_head.get_bboxes(*outs, shapes)
             aug_props.append(props)
             aug_valid.append(valid)
         merged, mvalid = merge_aug_proposals(
@@ -215,6 +216,21 @@ class RPN(Module):
             x = self.neck(params['neck'], x)
         return x
 
+    def forward_train(self, params, img, img_shapes, gt_bboxes, gt_valid,
+                      gt_labels, key, **kwargs):
+        """RPN training is class-agnostic: gt_labels are ignored
+        (ref: mmdet/models/detectors/rpn.py:58-73)."""
+        x = self.extract_feat(params, img)
+        if hasattr(self.rpn_head, 'loss_from_shared'):
+            shared = [self.rpn_head.shared_single(params['rpn_head'], f)
+                      for f in x]
+            return self.rpn_head.loss_from_shared(
+                params['rpn_head'], shared, gt_bboxes, gt_valid, img_shapes,
+                key)
+        outs = self.rpn_head(params['rpn_head'], x)
+        return self.rpn_head.loss(*outs, gt_bboxes, gt_valid, img_shapes,
+                                  key)
+
     def simple_test(self, params, img, img_shapes, scale_factors,
                     rescale=False):
         x = self.extract_feat(params, img)
@@ -222,9 +238,8 @@ class RPN(Module):
             props, valid = self.rpn_head.get_proposals(
                 params['rpn_head'], x, img_shapes)
         else:
-            cls_scores, bbox_preds = self.rpn_head(params['rpn_head'], x)
-            props, valid = self.rpn_head.get_bboxes(cls_scores, bbox_preds,
-                                                    img_shapes)
+            outs = self.rpn_head(params['rpn_head'], x)
+            props, valid = self.rpn_head.get_bboxes(*outs, img_shapes)
         if rescale:
             props = props.at[..., :4].divide(scale_factors[:, None, :4])
         return props, valid
