@@ -102,6 +102,11 @@ class TwoStageDetector(Module):
         """Batched two-stage inference (ref: two_stage.py:236-330)."""
         x = self.extract_feat(params, img)
         if proposals is None:
+            if not self.with_rpn:
+                raise ValueError(
+                    'this detector has no RPN head (e.g. FastRCNN): pass '
+                    'precomputed proposals=(props, valid) to simple_test '
+                    '(ref: fast_rcnn.py external-proposal contract)')
             if hasattr(self.rpn_head, 'get_proposals'):
                 props, prop_valid = self.rpn_head.get_proposals(
                     params['rpn_head'], x, img_shapes)
