@@ -63,11 +63,17 @@ class FCNMaskHead(Module):
                 in_ch, conv_out_channels, conv_kernel_size,
                 padding=(conv_kernel_size - 1) // 2, norm_cfg=norm_cfg,
                 act_cfg='relu', weight_init='kaiming_fan_out'))
+        # with num_convs=0 (the C4 schema) the upsample reads the raw
+        # shared-head features (ref: fcn_mask_head.py upsample_in_channels)
+        upsample_in = conv_out_channels if num_convs > 0 else in_channels
         if self.upsample_method == 'deconv':
-            self.upsample = ConvTranspose2d(conv_out_channels,
+            self.upsample = ConvTranspose2d(upsample_in,
                                             conv_out_channels, 2, 2)
+            logits_in = conv_out_channels
+        else:
+            logits_in = upsample_in
         out_ch = 1 if class_agnostic else num_classes
-        self.conv_logits = Conv2d(conv_out_channels, out_ch, 1,
+        self.conv_logits = Conv2d(logits_in, out_ch, 1,
                                   weight_init='normal', init_std=0.001)
         self.loss_mask = build_from_cfg(
             loss_mask or dict(type='CrossEntropyLoss', use_mask=True,

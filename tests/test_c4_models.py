@@ -53,3 +53,19 @@ def test_c4_shared_head_param_names():
     # shared ResLayer params mirror torch's 'shared_head.layer4.*'
     assert 'layer4' in p['roi_head']['shared_head']
     assert '0' in p['roi_head']['shared_head']['layer4']
+
+
+def test_fcn_mask_head_num_convs0_channels():
+    """C4 schema: num_convs=0 feeds the 2048-ch shared-head features
+    straight to the deconv (ref fcn_mask_head.py upsample_in_channels);
+    caught by a zoo forward-audit — the deconv was built at
+    conv_out_channels regardless of num_convs."""
+    from arfe_tpu.models.roi_heads.mask_heads import FCNMaskHead
+    head = FCNMaskHead(num_convs=0, in_channels=2048,
+                       conv_out_channels=256, num_classes=5)
+    p = head.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 14, 14, 2048),
+                    jnp.float32)
+    out = head(p, x)
+    assert out.shape == (3, 28, 28, 5)
+    assert np.isfinite(np.asarray(out)).all()
