@@ -28,6 +28,32 @@ BATCH = 8
 H, W = 800, 1344
 
 
+def probe_backend(timeout_s=150, retries=2, sleep_s=30):
+    """Fail fast when the TPU tunnel is down instead of hanging into the
+    driver's timeout (the round-3 failure mode). Each attempt is a short
+    subprocess that initializes the backend and runs one tiny matmul; on a
+    healthy tunnel this takes ~15-40 s (cold compile), so 150 s is generous.
+    Exits non-zero quickly if every attempt fails, so the driver can retry
+    the whole bench instead of burning its budget on a hang."""
+    import subprocess
+    import sys
+    code = ('import jax, jax.numpy as jnp;'
+            'x = jnp.ones((128, 128));'
+            'print(float((x @ x).sum()))')
+    last = None
+    for i in range(retries + 1):
+        try:
+            subprocess.run([sys.executable, '-c', code], timeout=timeout_s,
+                           check=True, capture_output=True)
+            return
+        except Exception as e:
+            last = e
+            if i < retries:
+                time.sleep(sleep_s)
+    raise SystemExit(f'bench: TPU backend unavailable after '
+                     f'{retries + 1} probes: {last!r}')
+
+
 def build_flagship():
     from __graft_entry__ import _build_flagship
     model = _build_flagship()
@@ -175,6 +201,9 @@ def measure_train_step(model, params, batch_size=4, n_small=3, n_big=13):
 
 
 def main():
+    probe_backend()
+    from arfe_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()  # persist executables across worker restarts
     model, params = build_flagship()
     img = jnp.asarray(
         np.random.RandomState(0).randn(BATCH, H, W, 3) * 0.2, jnp.bfloat16)
