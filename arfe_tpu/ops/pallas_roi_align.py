@@ -39,6 +39,12 @@ SWH, SWW = 32, 40
 TWH, TWW = 24, 32
 
 
+# scalar-vector block lane width for ns samples per axis: 16 covers the
+# 7x7@2 bbox case, 32 the 14x14@2 mask case
+def _vec_width(ns):
+    return 16 if ns <= 16 else 32
+
+
 def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
             f0, f1, f2, f3, out_ref, win, sems, *, out_size, sample_num, c,
             double_buffer=True):
@@ -123,7 +129,7 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
     oh, ow = out_size
     sn = sample_num
     ns = oh * sn  # samples per axis (14 for 7x7 @ 2)
-    v = vec_ref[0]  # (8, 16) f32: _, _, wy0, wy1, x0r, x1r, wx0, wx1
+    v = vec_ref[0]  # (8, VW) f32: _, _, wy0, wy1, x0r, x1r, wx0, wx1
     wy0, wy1 = v[2, :ns], v[3, :ns]
     x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
 
@@ -246,9 +252,9 @@ def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
     lvl_arr = target_lvls.astype(jnp.int32)
     b_arr = rois[:, 0].astype(jnp.int32)
     y0_flat = y0r.astype(jnp.int32).reshape(-1)   # (R*ns,)
-    pad_cols = 16 - ns
+    vw = _vec_width(ns)
     vec = jnp.stack([y0r, y1r, wy0, wy1, x0r, x1r, wx0, wx1], axis=1)
-    vec = jnp.pad(vec, ((0, 0), (0, 0), (0, pad_cols)))    # (R, 8, 16)
+    vec = jnp.pad(vec, ((0, 0), (0, 0), (0, vw - ns)))     # (R, 8, vw)
     return lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec
 
 
@@ -267,7 +273,7 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
     oh, ow = out_size
     sn = sample_num
     ns = oh * sn
-    assert ns <= 16, 'vector block packs up to 16 samples per axis'
+    assert ns <= 32, 'vector block packs up to 32 samples per axis'
     num_levels = len(featmap_strides)
     assert num_levels == 4, 'pallas kernel is specialized to 4 levels'
     feats = list(feats[:num_levels])
@@ -296,7 +302,8 @@ def roi_align_pallas(feats, rois, out_size=(7, 7),
         num_scalar_prefetch=6,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 8, 16), lambda i, *refs: (i, 0, 0),
+            pl.BlockSpec((1, 8, _vec_width(ns)),
+                         lambda i, *refs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -338,7 +345,7 @@ def pallas_supported(out_size, sample_num, num_levels, channels=None):
     if channels is not None and channels % 128 != 0:
         return False
     return (on_tpu and num_levels == 4
-            and out_size[0] * sn <= 16 and out_size[1] * sn <= 16)
+            and out_size[0] * sn <= 32 and out_size[1] * sn <= 32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -449,7 +456,7 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     oh, ow = out_size
     sn = sample_num
     ns = oh * sn
-    v = vec_ref[0]                      # (8, 16)
+    v = vec_ref[0]                      # (8, VW)
     y0r, y1r, wy0, wy1 = v[0, :ns], v[1, :ns], v[2, :ns], v[3, :ns]
     x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
 
@@ -545,7 +552,7 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
     oh, ow = out_size
     sn = sample_num
     ns = oh * sn
-    assert ns <= 16
+    assert ns <= 32
     num_levels = len(featmap_strides)
     assert num_levels == 4
     feat_shapes = [tuple(s) for s in feat_shapes[:num_levels]]
@@ -568,7 +575,8 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
         num_scalar_prefetch=5,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 8, 16), lambda i, *refs: (i, 0, 0),
+            pl.BlockSpec((1, 8, _vec_width(ns)),
+                         lambda i, *refs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oh, ow, c), lambda i, *refs: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),

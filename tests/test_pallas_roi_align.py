@@ -70,3 +70,25 @@ def test_pallas_bwd_adaptive_matches_autodiff_interpret():
     for lvl, (r_, g_) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(r_),
                                    atol=1e-3, err_msg=f'level {lvl}')
+
+
+def test_pallas_matches_jnp_14x14_interpret():
+    """Mask-branch case: out_size 14 (ns=28 samples/axis, the 32-wide
+    vector block)."""
+    rng = np.random.RandomState(5)
+    b, c = 2, 256
+    feats = [jnp.asarray(rng.randn(b, 100 // (2 ** i) + 1, 168 // (2 ** i),
+                                   c).astype(np.float32)) for i in range(4)]
+    strides = [4, 8, 16, 32]
+    r = 12
+    xy = rng.uniform(0, 300, (r, 2))
+    wh = rng.uniform(20, 200, (r, 2))
+    rois = np.concatenate([rng.randint(0, b, (r, 1)).astype(np.float32),
+                           xy, xy + wh], axis=1).astype(np.float32)
+    rois_j = jnp.asarray(rois)
+    ref = np.asarray(roi_align_pyramid(feats, rois_j, (14, 14), strides, 56,
+                                       2, True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(roi_align_pallas(feats, rois_j, (14, 14), strides,
+                                          56, 2, True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
