@@ -165,9 +165,16 @@ class AnchorHead(Module):
             probs_l.append(probs)
             preds_l.append(preds)
             anchors_l.append(anc)
-        probs = jnp.concatenate(probs_l, axis=1)
-        preds = jnp.concatenate(preds_l, axis=1)
-        anchors = jnp.concatenate(anchors_l, axis=1)
+        return self._bboxes_tail(jnp.concatenate(probs_l, axis=1),
+                                 jnp.concatenate(preds_l, axis=1),
+                                 jnp.concatenate(anchors_l, axis=1),
+                                 img_shapes, scale_factors, cfg, rescale)
+
+    def _bboxes_tail(self, probs, preds, anchors, img_shapes, scale_factors,
+                     cfg, rescale):
+        """Shared decode + rescale + multiclass-NMS tail over concatenated
+        per-level candidates (probs (B,N,co), preds (B,N,4), anchors
+        (B,N,4))."""
 
         def _decode_one(anc, prd, shape):
             return self.bbox_coder.decode(anc, prd, max_shape=shape)
@@ -190,6 +197,116 @@ class AnchorHead(Module):
 
         dets, labels, valid = jax.vmap(_nms_one)(bboxes, probs)
         return dets, labels, valid
+
+    # ------------------------------------------------------------------
+    # channel-major inference (TPU layout optimization)
+    # ------------------------------------------------------------------
+    # Any NHWC head output whose minor dim is a few channels (A*4 = 36 for
+    # the reg branch) is lane-padded to 128; flattening it to candidate rows
+    # is an untile copy at up to 42x bandwidth waste (see CLAUDE.md, the
+    # round-3 RPN fix). The feats-direct path below computes the FINAL
+    # cls/reg convs with NCHW (channel-major) output so the minor dim stays
+    # H*W, runs per-level top-k on (A, HW)-shaped max-scores, and gathers
+    # only the kept candidates. Numerically it differs from get_bboxes only
+    # in candidate order within exact score ties (per-level order is
+    # (anchor, position) instead of the reference's (position, anchor)).
+
+    #: subclasses whose forward_single is exactly
+    #: ``finals(forward_features(x))`` opt in (RetinaHead, SSDHead, ...)
+    cm_finals = False
+
+    def forward_features(self, params, x, lvl):
+        """Per-level features feeding the final cls/reg convs.
+
+        Returns (cls_feat, reg_feat); returning the SAME object for both
+        lets the channel-major path fuse the two finals into one conv.
+        """
+        return x, x
+
+    def final_params(self, params, lvl):
+        """Param dicts (weight/bias) of the final cls and reg convs."""
+        return params['conv_cls'], params['conv_reg']
+
+    @staticmethod
+    def _conv_cm(x, w, bias):
+        """KxK same-padding conv with channel-major output: (B, Cout, HW)."""
+        kh, kw = w.shape[0], w.shape[1]
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1),
+            ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=('NHWC', 'HWIO', 'NCHW'))
+        out = out + bias.astype(out.dtype)[None, :, None, None]
+        b, c, h, wd = out.shape
+        return out.reshape(b, c, h * wd)
+
+    def _finals_cm(self, cls_feat, reg_feat, pc, pr):
+        """Channel-major final convs -> (B, A*co, HW), (B, A*4, HW) fp32.
+
+        When both finals read one tensor they run as ONE conv with stacked
+        output channels (XLA does not fuse sibling convs); the row split
+        afterwards is a cheap second-minor slice.
+        """
+        if cls_feat is reg_feat:
+            w = jnp.concatenate([pc['weight'], pr['weight']], axis=-1)
+            b = jnp.concatenate([pc['bias'], pr['bias']])
+            out = self._conv_cm(cls_feat, w, b)
+            n_cls = pc['bias'].shape[0]
+            cls_t, reg_t = out[:, :n_cls], out[:, n_cls:]
+        else:
+            cls_t = self._conv_cm(cls_feat, pc['weight'], pc['bias'])
+            reg_t = self._conv_cm(reg_feat, pr['weight'], pr['bias'])
+        # force_fp32 boundary (ref: @force_fp32 on get_bboxes)
+        return cls_t.astype(jnp.float32), reg_t.astype(jnp.float32)
+
+    def get_bboxes_feats(self, params, feats, img_shapes, scale_factors,
+                         cfg=None, rescale=False):
+        """Feature-direct batched inference: finals + decode + NMS, with the
+        finals computed channel-major. Same contract as ``get_bboxes``."""
+        cfg = self.test_cfg if cfg is None else cfg
+        featmap_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+        co = self.cls_out_channels
+        probs_l, preds_l, anchors_l = [], [], []
+        for lvl, (x, anchors) in enumerate(zip(feats, mlvl_anchors)):
+            cls_feat, reg_feat = self.forward_features(params, x, lvl)
+            pc, pr = self.final_params(params, lvl)
+            num_a = pc['bias'].shape[0] // co  # per-level (SSD varies)
+            cls_t, reg_t = self._finals_cm(cls_feat, reg_feat, pc, pr)
+            b, hw = cls_t.shape[0], cls_t.shape[-1]
+            cls_t = cls_t.reshape(b, num_a, co, hw)
+            reg_t = reg_t.reshape(b, num_a, 4, hw)
+            # anchor-major candidate order; trace-time constant fold
+            anchors = jnp.asarray(anchors).reshape(hw, num_a, 4) \
+                .transpose(1, 0, 2).reshape(num_a * hw, 4)
+            if self.use_sigmoid_cls:
+                probs = jax.nn.sigmoid(cls_t)
+                max_sc = probs.max(axis=2)              # (B, A, HW)
+            else:
+                probs = jax.nn.softmax(cls_t, axis=2)
+                max_sc = probs[:, :, :-1].max(axis=2)
+            hwa = num_a * hw
+            if nms_pre > 0 and hwa > nms_pre:
+                _, idx = jax.lax.top_k(max_sc.reshape(b, hwa), nms_pre)
+                a_idx, x_idx = idx // hw, idx % hw
+
+                def _gather(t, ai, xi):                 # (A,C,HW) -> (P,C)
+                    return t[ai, :, xi]
+
+                probs_g = jax.vmap(_gather)(probs, a_idx, x_idx)
+                preds_g = jax.vmap(_gather)(reg_t, a_idx, x_idx)
+                anc = anchors[idx]
+            else:
+                probs_g = probs.transpose(0, 1, 3, 2).reshape(b, hwa, co)
+                preds_g = reg_t.transpose(0, 1, 3, 2).reshape(b, hwa, 4)
+                anc = jnp.broadcast_to(anchors[None], (b, hwa, 4))
+            probs_l.append(probs_g)
+            preds_l.append(preds_g)
+            anchors_l.append(anc)
+        return self._bboxes_tail(jnp.concatenate(probs_l, axis=1),
+                                 jnp.concatenate(preds_l, axis=1),
+                                 jnp.concatenate(anchors_l, axis=1),
+                                 img_shapes, scale_factors, cfg, rescale)
 
     # ------------------------------------------------------------------
     # training (ref: anchor_head.py:147-417)

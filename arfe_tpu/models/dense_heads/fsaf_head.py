@@ -43,6 +43,9 @@ class FSAFHead(RetinaHead):
                                  padding=1, weight_init='normal',
                                  init_std=0.01, bias_value=0.25)
 
+    # the relu on bbox_pred below is not expressible as bare finals
+    cm_finals = False
+
     def forward_single(self, params, x):
         cls_score, bbox_pred = super().forward_single(params, x)
         # TBLR coder only accepts positive distances (ref :32-35)

@@ -64,13 +64,22 @@ class RetinaHead(AnchorHead):
             'retina_reg': self.retina_reg.init(keys[-1]),
         }
 
-    def forward_single(self, params, x):
+    cm_finals = True
+
+    def forward_features(self, params, x, lvl=0):
         cls_feat = x
         reg_feat = x
         for i, m in enumerate(self.cls_convs):
             cls_feat = m(params['cls_convs'][str(i)], cls_feat)
         for i, m in enumerate(self.reg_convs):
             reg_feat = m(params['reg_convs'][str(i)], reg_feat)
+        return cls_feat, reg_feat
+
+    def final_params(self, params, lvl=0):
+        return params['retina_cls'], params['retina_reg']
+
+    def forward_single(self, params, x):
+        cls_feat, reg_feat = self.forward_features(params, x)
         cls_score = self.retina_cls(params['retina_cls'], cls_feat)
         bbox_pred = self.retina_reg(params['retina_reg'], reg_feat)
         return cls_score, bbox_pred

@@ -87,6 +87,11 @@ class SSDHead(AnchorHead):
             bbox_preds.append(out[..., n_cls:])
         return tuple(cls_scores), tuple(bbox_preds)
 
+    cm_finals = True
+
+    def final_params(self, params, lvl):
+        return params['cls_convs'][str(lvl)], params['reg_convs'][str(lvl)]
+
     def _flatten_level(self, cls_score, bbox_pred):
         b = cls_score.shape[0]
         return (cls_score.reshape(b, -1, self.cls_out_channels),

@@ -72,6 +72,20 @@ class SingleStageDetector(Module):
             valid (B, max_per_img).
         """
         x = self.extract_feat(params, img)
+        return self._head_bboxes(params, x, img_shapes, scale_factors,
+                                 rescale)
+
+    def _head_bboxes(self, params, x, img_shapes, scale_factors, rescale):
+        """Head inference; channel-major finals when the head supports them
+        (see AnchorHead.get_bboxes_feats — avoids the NHWC lane-untile on
+        few-channel head outputs). ARFE_TPU_CM_FINALS=0 reverts to the
+        NHWC forward + get_bboxes path."""
+        import os
+        if (getattr(self.bbox_head, 'cm_finals', False)
+                and os.environ.get('ARFE_TPU_CM_FINALS', '1') != '0'):
+            return self.bbox_head.get_bboxes_feats(
+                params['bbox_head'], x, img_shapes, scale_factors,
+                rescale=rescale)
         outs = self.bbox_head(params['bbox_head'], x)
         return self.bbox_head.get_bboxes(*outs, img_shapes, scale_factors,
                                          rescale=rescale)
@@ -91,9 +105,8 @@ class SingleStageDetector(Module):
         for img, shapes, sfs, flip in zip(aug_imgs, aug_img_shapes,
                                           aug_scale_factors, aug_flips):
             x = self.extract_feat(params, img)
-            outs = self.bbox_head(params['bbox_head'], x)
-            dets, labels, valid = self.bbox_head.get_bboxes(
-                *outs, shapes, sfs, rescale=False)
+            dets, labels, valid = self._head_bboxes(params, x, shapes, sfs,
+                                                    False)
             boxes = jax.vmap(
                 lambda bx, sh, sf: bbox_mapping_back(bx, sh, sf, flip))(
                 dets[..., :4], shapes, sfs)
