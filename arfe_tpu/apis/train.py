@@ -144,7 +144,14 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
 
     work_dir = cfg.get('work_dir', './work_dirs/default')
     os.makedirs(work_dir, exist_ok=True)
-    log_interval = (cfg.todict().get('log_config') or {}).get('interval', 50)
+    log_cfg = cfg.todict().get('log_config') or {}
+    log_interval = log_cfg.get('interval', 50)
+    # TensorboardLoggerHook equivalent (ref: default_runtime.py:2-8)
+    tb_writer = None
+    if is_main and any(h.get('type') == 'TensorboardLoggerHook'
+                       for h in log_cfg.get('hooks', [])):
+        from ..utils.tb_writer import TensorboardWriter
+        tb_writer = TensorboardWriter(os.path.join(work_dir, 'tf_logs'))
     ckpt_cfg = cfg.todict().get('checkpoint_config') or {}
     ckpt_interval = ckpt_cfg.get('interval', 1)
     ckpt_backend = ckpt_cfg.get('backend', 'pickle')
@@ -188,6 +195,9 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
                 history.append(entry)
                 if is_main:
                     _append_json_log(work_dir, entry)
+                    if tb_writer is not None:
+                        tb_writer.add_scalars(scalars, global_it,
+                                              prefix='train/')
                 msg = ' '.join(f'{k}: {v:.4f}' for k, v in scalars.items())
                 log(f'Epoch [{epoch + 1}][{it + 1}/{iters_per_epoch}] {msg}')
                 if gt_assign_counts is not None:
@@ -209,6 +219,12 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
                             if isinstance(v, (int, float))})
             history.append(entry)
             _append_json_log(work_dir, entry)
+            if tb_writer is not None:
+                tb_writer.add_scalars(
+                    {k: v for k, v in metrics.items()
+                     if isinstance(v, (int, float))},
+                    global_it, prefix='val/')
+                tb_writer.flush()
         if is_main and (epoch + 1) % ckpt_interval == 0:
             meta = dict(epoch=epoch + 1, iter=global_it,
                         CLASSES=getattr(dataset, 'CLASSES', None),
@@ -224,6 +240,8 @@ def train_detector(model, dataset, cfg, validate=False, logger=None,
                 os.symlink(os.path.basename(path), latest)
             except OSError:
                 pass
+    if tb_writer is not None:
+        tb_writer.close()
     if ckpt_async:
         from ..utils.checkpoint import wait_for_checkpoints
         wait_for_checkpoints()
