@@ -15,3 +15,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# the suite is compile-dominated (~63 min cold); persist XLA executables
+# across runs (ARFE_TPU_COMPILE_CACHE=0 disables)
+from arfe_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()

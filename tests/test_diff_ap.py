@@ -1,0 +1,363 @@
+"""Full-pipeline differential AP test (the ±0.1-AP north-star proxy while
+real reference checkpoints are unobtainable, VERDICT r3 missing #1):
+
+One set of random-init weights is converted into BOTH the JAX Faster R-CNN
+and the independent torch mirror (tests/test_e2e_parity_vs_torch.py). The
+JAX side runs the COMPLETE production stack — CocoDataset + test pipeline
+(load/resize/normalize/pad) + dataloader + apis single_device_test +
+dataset.evaluate — on a synthetic COCO dataset written to disk. The torch
+side runs an independently written preprocessing + the torch mirror's
+decode/NMS + the golden-pinned COCOEvaluator. The resulting AP numbers
+must agree to 1e-3 (ref eval protocol: mmdet/datasets/coco.py:320-430).
+
+Ground truth is seeded from the torch detections (plus undetected decoys)
+so AP is strictly inside (0, 1) — a degenerate all-zero AP on both sides
+cannot fake a pass.
+"""
+import os
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from arfe_tpu.convert import params_to_jax, state_dict_to_params
+
+from test_e2e_parity_vs_torch import (NUM_CLASSES, STRIDES, TFasterRCNN,
+                                      TMaskRCNN, build_jax_model,
+                                      t_roi_align, torch_inference)
+
+IMG_SCALE = (320, 256)          # (long, short) like mmdet img_scale
+MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _rescale_keep_ratio(w, h, scale):
+    # independent reimplementation of mmcv rescale_size semantics
+    factor = min(max(scale) / max(h, w), min(scale) / min(h, w))
+    return int(w * factor + 0.5), int(h * factor + 0.5), factor
+
+
+def _torch_preprocess(path):
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    h, w = img.shape[:2]
+    new_w, new_h, _ = _rescale_keep_ratio(w, h, IMG_SCALE)
+    resized = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+    scale_factor = np.array([new_w / w, new_h / h, new_w / w, new_h / h],
+                            np.float32)
+    norm = (resized[..., ::-1].astype(np.float32) - MEAN) / STD
+    pad_h = (new_h + 31) // 32 * 32
+    pad_w = (new_w + 31) // 32 * 32
+    padded = np.zeros((pad_h, pad_w, 3), np.float32)
+    padded[:new_h, :new_w] = norm
+    tensor = torch.from_numpy(padded.transpose(2, 0, 1)[None])
+    return tensor, (new_h, new_w), scale_factor
+
+
+def _make_mirror(seed=7, cls=TFasterRCNN):
+    torch.manual_seed(seed)
+    tm = cls()
+    with torch.no_grad():
+        # decisive score rankings (random nets give near-ties that can
+        # legitimately flip across frameworks)
+        for m in (tm.roi_head.bbox_head.fc_cls, tm.rpn_head.rpn_cls):
+            m.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+    return tm
+
+
+def _rect_poly(x1, y1, x2, y2):
+    return [[x1, y1, x2, y1, x2, y2, x1, y2]]
+
+
+def _write_dataset(root, torch_dets_per_img, img_files, ori_sizes):
+    """Synthetic COCO annotations seeded from torch detections: the top
+    dets (slightly jittered) become gts, plus decoy gts nothing detects.
+    Every gt carries a rectangle-polygon segmentation so the same dataset
+    serves the segm metric."""
+    rng = np.random.RandomState(3)
+    images, anns = [], []
+    aid = 0
+    for iid, (fname, (h, w)) in enumerate(zip(img_files, ori_sizes)):
+        images.append(dict(id=iid, width=w, height=h, file_name=fname))
+        for sc, lab, box in torch_dets_per_img[iid][:4]:
+            x1, y1, x2, y2 = [float(v) for v in box]
+            jit = rng.uniform(-0.04, 0.04, 4) * max(x2 - x1, y2 - y1)
+            x1, y1 = max(x1 + jit[0], 0), max(y1 + jit[1], 0)
+            x2, y2 = min(x2 + jit[2], w - 1), min(y2 + jit[3], h - 1)
+            if x2 - x1 < 2 or y2 - y1 < 2:
+                continue
+            aid += 1
+            anns.append(dict(id=aid, image_id=iid, category_id=int(lab) + 1,
+                             bbox=[x1, y1, x2 - x1, y2 - y1],
+                             segmentation=_rect_poly(x1, y1, x2, y2),
+                             area=float((x2 - x1) * (y2 - y1)), iscrowd=0))
+        # two decoy gts per image (false negatives -> recall < 1)
+        for _ in range(2):
+            gw, gh = rng.randint(20, 60, 2)
+            gx = rng.randint(0, w - gw - 1)
+            gy = rng.randint(0, h - gh - 1)
+            aid += 1
+            anns.append(dict(id=aid, image_id=iid,
+                             category_id=int(rng.randint(1,
+                                                         NUM_CLASSES + 1)),
+                             bbox=[float(gx), float(gy), float(gw),
+                                   float(gh)],
+                             segmentation=_rect_poly(
+                                 float(gx), float(gy), float(gx + gw),
+                                 float(gy + gh)),
+                             area=float(gw * gh), iscrowd=0))
+    import json
+    ann = dict(images=images, annotations=anns,
+               categories=[dict(id=c + 1, name=f'c{c}')
+                           for c in range(NUM_CLASSES)])
+    path = os.path.join(root, 'ann.json')
+    with open(path, 'w') as f:
+        json.dump(ann, f)
+    return path
+
+
+def _make_images(root, seed=11):
+    img_dir = os.path.join(root, 'imgs')
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(seed)
+    ori_sizes = [(300, 400), (280, 420), (320, 400), (300, 380)]
+    img_files = []
+    for i, (h, w) in enumerate(ori_sizes):
+        # smooth blobs, not white noise: resize interpolation differences
+        # stay tiny relative to feature scales
+        small = rng.randint(0, 255, (h // 20, w // 20, 3)).astype(np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+        fname = f'{i}.png'   # lossless: both sides decode identical pixels
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        img_files.append(fname)
+    return img_dir, img_files, ori_sizes
+
+
+def _build_jax_dataset_loader(ann_file, img_dir):
+    from arfe_tpu.data import build_dataloader, build_dataset
+    img_norm_cfg = dict(mean=list(MEAN), std=list(STD), to_rgb=True)
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=IMG_SCALE, flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm_cfg),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    dataset = build_dataset(dict(
+        type='CocoDataset', ann_file=ann_file, img_prefix=img_dir,
+        pipeline=test_pipeline,
+        classes=tuple(f'c{c}' for c in range(NUM_CLASSES))))
+    # bs1 + divisor-32 padding = exactly the reference's test-time padding,
+    # so the anchor grid matches the torch side per image (the TPU pad
+    # buckets add void anchors that are self-consistent but shift RPN top-k
+    # relative to a minimally-padded run)
+    loader = build_dataloader(dataset, samples_per_gpu=1, workers_per_gpu=0,
+                              shuffle=False, static_shapes=None)
+    return dataset, loader
+
+
+def test_full_pipeline_ap_matches_torch_mirror(tmp_path):
+    root = str(tmp_path)
+    img_dir, img_files, ori_sizes = _make_images(root)
+
+    tm = _make_mirror()
+
+    # ---- torch side: independent preprocessing + mirror inference -------
+    torch_dets, torch_rescaled = [], []
+    for i, fname in enumerate(img_files):
+        tensor, resized_shape, sf = _torch_preprocess(
+            os.path.join(img_dir, fname))
+        with torch.no_grad():
+            dets = torch_inference(tm, tensor, resized_shape)
+        torch_dets.append(dets)
+        torch_rescaled.append([(sc, lab, box / sf) for sc, lab, box in dets])
+
+    ann_file = _write_dataset(root, torch_rescaled, img_files, ori_sizes)
+
+    # ---- JAX side: the full production eval stack ------------------------
+    from arfe_tpu.apis.test import single_device_test
+
+    dataset, loader = _build_jax_dataset_loader(ann_file, img_dir)
+    model = build_jax_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    results = single_device_test(model, params, loader, show_progress=False)
+    jax_stats = dataset.evaluate(results, metric='bbox')
+
+    # ---- torch side AP through the golden-pinned evaluator ---------------
+    coco_gt = dataset.coco
+    dts = []
+    for iid, dets in enumerate(torch_rescaled):
+        for sc, lab, box in dets:
+            x1, y1, x2, y2 = [float(v) for v in box]
+            dts.append(dict(image_id=iid, category_id=int(lab) + 1,
+                            bbox=[x1, y1, x2 - x1, y2 - y1],
+                            score=float(sc)))
+    from arfe_tpu.core.evaluation import COCOEvaluator
+    t_stats = COCOEvaluator(coco_gt).evaluate(coco_gt.loadRes(dts))['stats']
+
+    # non-degenerate: gts were seeded from dets, decoys bound recall < 1
+    assert 0.05 < t_stats['AP'] < 0.999, t_stats['AP']
+    for jk, tk in (('bbox_mAP', 'AP'), ('bbox_AP50', 'AP50'),
+                   ('bbox_AP75', 'AP75'), ('bbox_APs', 'APs'),
+                   ('bbox_APm', 'APm'), ('bbox_APl', 'APl')):
+        assert abs(jax_stats[jk] - t_stats[tk]) < 1e-3, \
+            (jk, jax_stats[jk], t_stats[tk])
+
+
+# ---------------------------------------------------------------------------
+# segm: Mask R-CNN through both full stacks
+# ---------------------------------------------------------------------------
+
+
+def _build_jax_mask_model():
+    from arfe_tpu.models.builder import build_detector
+    from test_e2e_parity_vs_torch import (MAX_PER_IMG, RCNN_NMS_THR,
+                                          RCNN_SCORE_THR, RPN_NMS_POST,
+                                          RPN_NMS_PRE, RPN_NMS_THR)
+    cfg = dict(
+        type='MaskRCNN',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, num_outs=5)],
+        rpn_head=dict(
+            type='RPNHead', in_channels=64, feat_channels=64,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(
+                type='Shared2FCBBoxHead', in_channels=64,
+                fc_out_channels=128, roi_feat_size=7,
+                num_classes=NUM_CLASSES,
+                bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                target_stds=[0.1, 0.1, 0.2, 0.2])),
+            mask_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=14, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            mask_head=dict(
+                type='FCNMaskHead', num_convs=2, in_channels=64,
+                conv_out_channels=64, num_classes=NUM_CLASSES)))
+    test_cfg = dict(
+        rpn=dict(nms_pre=RPN_NMS_PRE, nms_post=RPN_NMS_POST,
+                 max_num=RPN_NMS_POST, nms_thr=RPN_NMS_THR,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=RCNN_SCORE_THR,
+                  nms=dict(type='nms', iou_thr=RCNN_NMS_THR),
+                  max_per_img=MAX_PER_IMG, mask_thr_binary=0.5))
+    return build_detector(cfg, test_cfg=test_cfg)
+
+
+def _torch_mask_probs(tm, feats, box_resized, label):
+    """28x28 sigmoid mask for one det: FPN-level RoIAlign (out 14) ->
+    mask head -> class channel (mirrors mmdet mask_roi_extractor +
+    fcn_mask_head get_seg_masks class selection)."""
+    scale = np.sqrt(max(box_resized[2] - box_resized[0], 0)
+                    * max(box_resized[3] - box_resized[1], 0))
+    lvl = int(np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0, 3))
+    mf = t_roi_align(feats[lvl], np.asarray(box_resized)[None],
+                     STRIDES[lvl], out=14)
+    with torch.no_grad():
+        logits = tm.roi_head.mask_head(mf)[0, int(label)]
+    return torch.sigmoid(logits).numpy()
+
+
+def _paste_one(prob, box_ori, img_h, img_w, thr=0.5):
+    """Independent paste: bilinear resize of the 28x28 probs to the ori-
+    frame box extent, threshold, write into the image canvas (mirrors ref
+    fcn_mask_head.py:149-250 get_seg_masks)."""
+    x1, y1, x2, y2 = [float(v) for v in box_ori]
+    w = max(int(np.round(x2 - x1)), 1)
+    h = max(int(np.round(y2 - y1)), 1)
+    x1i, y1i = int(np.round(x1)), int(np.round(y1))
+    m = (cv2.resize(prob.astype(np.float32), (w, h)) > thr).astype(np.uint8)
+    out = np.zeros((img_h, img_w), np.uint8)
+    xs0, ys0 = max(x1i, 0), max(y1i, 0)
+    xs1, ys1 = min(x1i + w, img_w), min(y1i + h, img_h)
+    if xs1 > xs0 and ys1 > ys0:
+        out[ys0:ys1, xs0:xs1] = m[ys0 - y1i:ys1 - y1i, xs0 - x1i:xs1 - x1i]
+    return out
+
+
+def test_full_pipeline_segm_ap_matches_torch_mirror(tmp_path):
+    root = str(tmp_path)
+    img_dir, img_files, ori_sizes = _make_images(root, seed=13)
+
+    tm = _make_mirror(seed=9, cls=TMaskRCNN)
+
+    # ---- torch side: dets + per-det pasted masks -------------------------
+    torch_rescaled, torch_masks = [], []
+    for i, fname in enumerate(img_files):
+        tensor, resized_shape, sf = _torch_preprocess(
+            os.path.join(img_dir, fname))
+        with torch.no_grad():
+            dets = torch_inference(tm, tensor, resized_shape)
+            feats = tm.neck(tm.backbone(tensor))
+        oh, ow = ori_sizes[i]
+        rescaled, masks = [], []
+        for sc, lab, box in dets:
+            prob = _torch_mask_probs(tm, feats, box, lab)
+            box_ori = box / sf
+            rescaled.append((sc, lab, box_ori))
+            masks.append(_paste_one(prob, box_ori, oh, ow))
+        torch_rescaled.append(rescaled)
+        torch_masks.append(masks)
+
+    ann_file = _write_dataset(root, torch_rescaled, img_files, ori_sizes)
+
+    # ---- JAX side: full production eval stack, bbox + segm ---------------
+    from arfe_tpu.apis.test import single_device_test
+
+    dataset, loader = _build_jax_dataset_loader(ann_file, img_dir)
+    model = _build_jax_mask_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    results = single_device_test(model, params, loader, show_progress=False)
+    jax_stats = dataset.evaluate(results, metric=['bbox', 'segm'])
+
+    # ---- torch side AP through the golden-pinned evaluator ---------------
+    from arfe_tpu.core.evaluation import COCOEvaluator
+    from arfe_tpu.core.mask.rle import mask_to_rle
+
+    coco_gt = dataset.coco
+    bbox_dts, segm_dts = [], []
+    for iid, (dets, masks) in enumerate(zip(torch_rescaled, torch_masks)):
+        for (sc, lab, box), m in zip(dets, masks):
+            x1, y1, x2, y2 = [float(v) for v in box]
+            bbox_dts.append(dict(image_id=iid, category_id=int(lab) + 1,
+                                 bbox=[x1, y1, x2 - x1, y2 - y1],
+                                 score=float(sc)))
+            segm_dts.append(dict(image_id=iid, category_id=int(lab) + 1,
+                                 segmentation=mask_to_rle(m),
+                                 score=float(sc)))
+    tb = COCOEvaluator(coco_gt).evaluate(coco_gt.loadRes(bbox_dts))['stats']
+    ts = COCOEvaluator(coco_gt, iou_type='segm').evaluate(
+        coco_gt.loadRes(segm_dts))['stats']
+
+    assert 0.05 < ts['AP'] < 0.999, ts['AP']
+    for jk, stats, tk in (('bbox_mAP', tb, 'AP'), ('bbox_AP50', tb, 'AP50'),
+                          ('segm_mAP', ts, 'AP'), ('segm_AP50', ts, 'AP50'),
+                          ('segm_AP75', ts, 'AP75')):
+        assert abs(jax_stats[jk] - stats[tk]) < 1e-3, \
+            (jk, jax_stats[jk], stats[tk])
