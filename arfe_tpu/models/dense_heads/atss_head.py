@@ -239,6 +239,13 @@ class ATSSHead(AnchorHead):
             probs_l.append(scores)
             boxes_l.append(boxes)
             cent_l.append(cent_s)
+        return self._cent_tail(probs_l, boxes_l, cent_l, scale_factors, cfg,
+                               rescale)
+
+    def _cent_tail(self, probs_l, boxes_l, cent_l, scale_factors, cfg,
+                   rescale):
+        """Shared rescale + centerness-weighted multiclass-NMS tail."""
+        from ...core.post.bbox_nms import multiclass_nms
         probs = jnp.concatenate(probs_l, 1)
         boxes = jnp.concatenate(boxes_l, 1)
         cents = jnp.concatenate(cent_l, 1)
@@ -253,3 +260,76 @@ class ATSSHead(AnchorHead):
                                   pre_nms_cap=cfg.get('nms_cap', 2000))
 
         return jax.vmap(_one)(boxes, probs, cents)
+
+    # ------------------------------------------------------------------
+    # channel-major inference (see AnchorHead.get_bboxes_feats). The
+    # 4-channel reg and 1-channel centerness maps lane-pad to 128 in NHWC;
+    # here the finals run NCHW-out (reg + centerness share the reg tower ->
+    # one stacked conv) and only top-k candidates are gathered.
+    # ------------------------------------------------------------------
+
+    cm_finals = True
+
+    def get_bboxes_feats(self, params, feats, img_shapes, scale_factors,
+                         cfg=None, rescale=False):
+        cfg = self.test_cfg if cfg is None else cfg
+        featmap_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+        c = self.cls_out_channels
+        probs_l, boxes_l, cent_l = [], [], []
+        for lvl, (x, anchors) in enumerate(zip(feats, mlvl_anchors)):
+            cls_feat = x
+            reg_feat = x
+            for i, m in enumerate(self.cls_convs):
+                cls_feat = m(params['cls_convs'][str(i)], cls_feat)
+            for i, m in enumerate(self.reg_convs):
+                reg_feat = m(params['reg_convs'][str(i)], reg_feat)
+            pc = params['atss_cls']
+            pr = params['atss_reg']
+            pn = params['atss_centerness']
+            num_a = self.num_anchors
+            cls_t = self._conv_cm(
+                cls_feat, pc['weight'], pc['bias']).astype(jnp.float32)
+            # reg + centerness share the reg tower -> one stacked conv
+            w = jnp.concatenate([pr['weight'], pn['weight']], axis=-1)
+            bias = jnp.concatenate([pr['bias'], pn['bias']])
+            out = self._conv_cm(reg_feat, w, bias).astype(jnp.float32)
+            b, hw = out.shape[0], out.shape[-1]
+            reg_t = params['scales'][lvl].astype(jnp.float32) \
+                * out[:, :num_a * 4].reshape(b, num_a, 4, hw)
+            cent_t = out[:, num_a * 4:].reshape(b, num_a, 1, hw)
+            cls_t = cls_t.reshape(b, num_a, c, hw)
+            scores_t = jax.nn.sigmoid(cls_t)
+            cent_s = jax.nn.sigmoid(cent_t[:, :, 0])        # (B, A, HW)
+            # anchor-major candidate order; trace-time constant fold
+            anc = jnp.asarray(anchors).reshape(hw, num_a, 4) \
+                .transpose(1, 0, 2).reshape(num_a * hw, 4)
+            hwa = num_a * hw
+            if nms_pre > 0 and hwa > nms_pre:
+                max_sc = (scores_t.max(axis=2) * cent_s).reshape(b, hwa)
+                _, idx = jax.lax.top_k(max_sc, nms_pre)
+                a_idx, x_idx = idx // hw, idx % hw
+
+                def _gather(t, ai, xi):                 # (A,C,HW) -> (P,C)
+                    return t[ai, :, xi]
+
+                scores_g = jax.vmap(_gather)(scores_t, a_idx, x_idx)
+                preds_g = jax.vmap(_gather)(reg_t, a_idx, x_idx)
+                cent_g = jnp.take_along_axis(
+                    cent_s.reshape(b, hwa), idx, 1)
+                anc_b = anc[idx]
+            else:
+                scores_g = scores_t.transpose(0, 1, 3, 2).reshape(b, hwa, c)
+                preds_g = reg_t.transpose(0, 1, 3, 2).reshape(b, hwa, 4)
+                cent_g = cent_s.reshape(b, hwa)
+                anc_b = jnp.broadcast_to(anc[None], (b, hwa, 4))
+            boxes = jax.vmap(
+                lambda a_, p_, sh: self.bbox_coder.decode(a_, p_,
+                                                          max_shape=sh))(
+                    anc_b, preds_g, img_shapes)
+            probs_l.append(scores_g)
+            boxes_l.append(boxes)
+            cent_l.append(cent_g)
+        return self._cent_tail(probs_l, boxes_l, cent_l, scale_factors, cfg,
+                               rescale)

@@ -159,6 +159,12 @@ class FCOSHead(Module):
             probs_l.append(scores)
             boxes_l.append(boxes)
             cent_l.append(cent_s)
+        return self._bboxes_tail(probs_l, boxes_l, cent_l, scale_factors,
+                                 cfg, rescale)
+
+    def _bboxes_tail(self, probs_l, boxes_l, cent_l, scale_factors, cfg,
+                     rescale):
+        """Shared rescale + centerness-weighted multiclass-NMS tail."""
         probs = jnp.concatenate(probs_l, 1)
         boxes = jnp.concatenate(boxes_l, 1)
         cents = jnp.concatenate(cent_l, 1)
@@ -173,6 +179,72 @@ class FCOSHead(Module):
                                   pre_nms_cap=cfg.get('nms_cap', 2000))
 
         return jax.vmap(_one)(boxes, probs, cents)
+
+    # ------------------------------------------------------------------
+    # channel-major inference (see AnchorHead.get_bboxes_feats: few-channel
+    # NHWC head outputs lane-pad to 128; the 1-channel centerness and
+    # 4-channel reg maps are the worst offenders). Anchor-free => A=1, so
+    # the candidate order matches get_bboxes exactly.
+    # ------------------------------------------------------------------
+
+    cm_finals = True
+
+    def get_bboxes_feats(self, params, feats, img_shapes, scale_factors,
+                         cfg=None, rescale=False):
+        from .anchor_head import AnchorHead
+        cfg = self.test_cfg if cfg is None else cfg
+        featmap_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        points = self._points(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', -1)
+        c = self.num_classes
+        probs_l, boxes_l, cent_l = [], [], []
+        for lvl, (x, pts) in enumerate(zip(feats, points)):
+            cls_feat = x
+            reg_feat = x
+            for i, m in enumerate(self.cls_convs):
+                cls_feat = m(params['cls_convs'][str(i)], cls_feat)
+            for i, m in enumerate(self.reg_convs):
+                reg_feat = m(params['reg_convs'][str(i)], reg_feat)
+            pc = params['conv_cls']
+            pn = params['conv_centerness']
+            pr = params['conv_reg']
+            # cls + centerness share the cls tower -> one stacked conv
+            w = jnp.concatenate([pc['weight'], pn['weight']], axis=-1)
+            bias = jnp.concatenate([pc['bias'], pn['bias']])
+            out = AnchorHead._conv_cm(cls_feat, w, bias).astype(jnp.float32)
+            cls_t, cent_t = out[:, :c], out[:, c]       # (B,C,HW), (B,HW)
+            reg_t = AnchorHead._conv_cm(
+                reg_feat, pr['weight'], pr['bias']).astype(jnp.float32)
+            dists_t = jnp.exp(
+                params['scales'][lvl].astype(jnp.float32) * reg_t)
+            scores_t = jax.nn.sigmoid(cls_t)
+            cent_s = jax.nn.sigmoid(cent_t)
+            b, hw = cent_s.shape
+            pts_j = jnp.asarray(pts)
+            if nms_pre > 0 and hw > nms_pre:
+                max_sc = scores_t.max(axis=1) * cent_s
+                _, idx = jax.lax.top_k(max_sc, nms_pre)
+
+                def _gather(t, xi):                     # (C,HW) -> (P,C)
+                    return t[:, xi].T
+
+                scores_g = jax.vmap(_gather)(scores_t, idx)
+                dists_g = jax.vmap(_gather)(dists_t, idx)
+                cent_g = jnp.take_along_axis(cent_s, idx, 1)
+                pts_b = pts_j[idx]
+            else:
+                scores_g = scores_t.transpose(0, 2, 1)
+                dists_g = dists_t.transpose(0, 2, 1)
+                cent_g = cent_s
+                pts_b = jnp.broadcast_to(pts_j[None], (b, hw, 2))
+            boxes = jax.vmap(
+                lambda p_, d_, sh: distance2bbox(p_, d_, max_shape=sh))(
+                    pts_b, dists_g, img_shapes)
+            probs_l.append(scores_g)
+            boxes_l.append(boxes)
+            cent_l.append(cent_g)
+        return self._bboxes_tail(probs_l, boxes_l, cent_l, scale_factors,
+                                 cfg, rescale)
 
     # ------------------------------------------------------------------
     def _targets_single(self, points, regress_ranges, gt_bboxes, gt_valid,

@@ -89,6 +89,10 @@ class FoveaHead(Module):
             type='SmoothL1Loss', beta=0.11, loss_weight=0.75), LOSSES)
         self.train_cfg = train_cfg
         self.test_cfg = test_cfg
+        # channel-major inference (see AnchorHead.get_bboxes_feats): the
+        # deform cls branch consumes the NHWC bbox_pred, so only the plain
+        # head opts in
+        self.cm_finals = not with_deform
         self._init_layers()
 
     def _init_layers(self):
@@ -293,6 +297,11 @@ class FoveaHead(Module):
             boxes = jax.vmap(_decode)(pts_b, preds, img_shapes)
             probs_l.append(scores)
             boxes_l.append(boxes)
+        return self._bboxes_tail(probs_l, boxes_l, scale_factors, cfg,
+                                 rescale)
+
+    def _bboxes_tail(self, probs_l, boxes_l, scale_factors, cfg, rescale):
+        """Shared rescale + multiclass-NMS tail."""
         probs = jnp.concatenate(probs_l, 1)
         boxes = jnp.concatenate(boxes_l, 1)
         if rescale:
@@ -306,3 +315,65 @@ class FoveaHead(Module):
                                   pre_nms_cap=cfg.get('nms_cap', 2000))
 
         return jax.vmap(_one)(boxes, probs)
+
+    def get_bboxes_feats(self, params, feats, img_shapes, scale_factors,
+                         cfg=None, rescale=False):
+        """Channel-major inference (see AnchorHead.get_bboxes_feats): the
+        4-channel reg map lane-pads to 128 in NHWC; the finals here run
+        NCHW-out and only top-k candidates are gathered. Anchor-free =>
+        candidate order matches get_bboxes exactly."""
+        from .anchor_head import AnchorHead
+        cfg = self.test_cfg if cfg is None else cfg
+        nms_pre = cfg.get('nms_pre', -1)
+        probs_l, boxes_l = [], []
+        for lvl, xf in enumerate(feats):
+            reg_feat = xf
+            for i, m in enumerate(self.reg_convs):
+                reg_feat = m(params['reg_convs'][str(i)], reg_feat)
+            cls_feat = xf
+            for i, m in enumerate(self.cls_convs):
+                cls_feat = m(params['cls_convs'][str(i)], cls_feat)
+            pc, pr = params['fovea_cls'], params['fovea_reg']
+            cls_t = AnchorHead._conv_cm(
+                cls_feat, pc['weight'], pc['bias']).astype(jnp.float32)
+            reg_t = AnchorHead._conv_cm(
+                reg_feat, pr['weight'], pr['bias']).astype(jnp.float32)
+            scores_t = jax.nn.sigmoid(cls_t)                # (B, C, HW)
+            dists_t = jnp.exp(reg_t)                        # (B, 4, HW)
+            b, hw = scores_t.shape[0], scores_t.shape[-1]
+            h, w = xf.shape[1], xf.shape[2]
+            stride = self.strides[lvl]
+            base_len = self.base_edge_list[lvl]
+            x = jnp.tile(jnp.arange(w, dtype=jnp.float32) + 0.5, h)
+            y = jnp.repeat(jnp.arange(h, dtype=jnp.float32) + 0.5, w)
+            pts = jnp.stack([x, y], -1)
+            if nms_pre > 0 and hw > nms_pre:
+                _, idx = jax.lax.top_k(scores_t.max(axis=1), nms_pre)
+
+                def _gather(t, xi):                         # (C,HW) -> (P,C)
+                    return t[:, xi].T
+
+                scores = jax.vmap(_gather)(scores_t, idx)
+                preds = jax.vmap(_gather)(dists_t, idx)
+                pts_b = pts[idx]
+            else:
+                scores = scores_t.transpose(0, 2, 1)
+                preds = dists_t.transpose(0, 2, 1)
+                pts_b = jnp.broadcast_to(pts[None], (b, hw, 2))
+
+            def _decode(p_, d_, shape):
+                x1 = jnp.clip(stride * p_[:, 0] - base_len * d_[:, 0],
+                              0, shape[1] - 1)
+                y1 = jnp.clip(stride * p_[:, 1] - base_len * d_[:, 1],
+                              0, shape[0] - 1)
+                x2 = jnp.clip(stride * p_[:, 0] + base_len * d_[:, 2],
+                              0, shape[1] - 1)
+                y2 = jnp.clip(stride * p_[:, 1] + base_len * d_[:, 3],
+                              0, shape[0] - 1)
+                return jnp.stack([x1, y1, x2, y2], -1)
+
+            boxes = jax.vmap(_decode)(pts_b, preds, img_shapes)
+            probs_l.append(scores)
+            boxes_l.append(boxes)
+        return self._bboxes_tail(probs_l, boxes_l, scale_factors, cfg,
+                                 rescale)

@@ -82,10 +82,19 @@ class RetinaSepBNHead(AnchorHead):
     def __call__(self, params, feats):
         cls_scores, bbox_preds = [], []
         for lvl, x in enumerate(feats):
-            cls_feat = self._branch(self.cls_convs, params['cls_convs'],
-                                    lvl, x)
-            reg_feat = self._branch(self.reg_convs, params['reg_convs'],
-                                    lvl, x)
+            cls_feat, reg_feat = self.forward_features(params, x, lvl)
             cls_scores.append(self.retina_cls(params['retina_cls'], cls_feat))
             bbox_preds.append(self.retina_reg(params['retina_reg'], reg_feat))
         return tuple(cls_scores), tuple(bbox_preds)
+
+    # channel-major inference (see AnchorHead.get_bboxes_feats): the towers
+    # differ per level only in norm params; the finals are shared convs
+    cm_finals = True
+
+    def forward_features(self, params, x, lvl):
+        cls_feat = self._branch(self.cls_convs, params['cls_convs'], lvl, x)
+        reg_feat = self._branch(self.reg_convs, params['reg_convs'], lvl, x)
+        return cls_feat, reg_feat
+
+    def final_params(self, params, lvl):
+        return params['retina_cls'], params['retina_reg']

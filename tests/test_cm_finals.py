@@ -65,6 +65,85 @@ def test_ssd_cm_finals_matches_nhwc():
     _run_pair(head, params, feats, img_shapes, scale_factors, cfg)
 
 
+def test_fcos_cm_finals_matches_nhwc():
+    from arfe_tpu.models.dense_heads import FCOSHead
+    head = FCOSHead(6, 32, feat_channels=32, stacked_convs=1,
+                    strides=(8, 16, 32, 64, 128), test_cfg=None)
+    assert head.cm_finals
+    params = head.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(3)
+    b = 2
+    feats = [jnp.asarray(rng.randn(b, 40 // 2 ** i, 52 // 2 ** i, 32)
+                         .astype(np.float32) * 0.3) for i in range(5)]
+    img_shapes = jnp.asarray([[316.0, 410.0], [320.0, 416.0]])
+    scale_factors = jnp.full((b, 4), 1.5, jnp.float32)
+    cfg = dict(nms_pre=400, score_thr=0.02,
+               nms=dict(type='nms', iou_thr=0.5), max_per_img=50)
+    _run_pair(head, params, feats, img_shapes, scale_factors, cfg)
+
+
+def test_atss_cm_finals_matches_nhwc():
+    from arfe_tpu.models.dense_heads import ATSSHead
+    head = ATSSHead(6, 32, feat_channels=32, stacked_convs=1,
+                    anchor_generator=dict(
+                        type='AnchorGenerator', octave_base_scale=8,
+                        scales_per_octave=1, ratios=[1.0],
+                        strides=[8, 16, 32, 64, 128]),
+                    test_cfg=None)
+    assert head.cm_finals
+    params = head.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(4)
+    b = 2
+    feats = [jnp.asarray(rng.randn(b, 40 // 2 ** i, 52 // 2 ** i, 32)
+                         .astype(np.float32) * 0.3) for i in range(5)]
+    img_shapes = jnp.asarray([[316.0, 410.0], [320.0, 416.0]])
+    scale_factors = jnp.full((b, 4), 1.5, jnp.float32)
+    cfg = dict(nms_pre=400, score_thr=0.02,
+               nms=dict(type='nms', iou_thr=0.5), max_per_img=50)
+    _run_pair(head, params, feats, img_shapes, scale_factors, cfg)
+
+
+def test_fovea_cm_finals_matches_nhwc():
+    from arfe_tpu.models.dense_heads import FoveaHead
+    head = FoveaHead(6, 32, feat_channels=32, stacked_convs=1,
+                     test_cfg=None)
+    assert head.cm_finals
+    assert not FoveaHead(6, 32, feat_channels=32, stacked_convs=1,
+                         with_deform=True, test_cfg=None).cm_finals
+    params = head.init(jax.random.PRNGKey(4))
+    rng = np.random.RandomState(5)
+    b = 2
+    feats = [jnp.asarray(rng.randn(b, 40 // 2 ** i, 52 // 2 ** i, 32)
+                         .astype(np.float32) * 0.3) for i in range(5)]
+    img_shapes = jnp.asarray([[316.0, 410.0], [320.0, 416.0]])
+    scale_factors = jnp.full((b, 4), 1.5, jnp.float32)
+    cfg = dict(nms_pre=400, score_thr=0.02,
+               nms=dict(type='nms', iou_thr=0.5), max_per_img=50)
+    _run_pair(head, params, feats, img_shapes, scale_factors, cfg)
+
+
+def test_retina_sepbn_cm_finals_matches_nhwc():
+    from arfe_tpu.models.dense_heads import RetinaSepBNHead
+    head = RetinaSepBNHead(6, 5, 32, stacked_convs=1, feat_channels=32,
+                           norm_cfg=dict(type='BN'),
+                           anchor_generator=dict(
+                               type='AnchorGenerator', octave_base_scale=4,
+                               scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                               strides=[8, 16, 32, 64, 128]),
+                           test_cfg=None)
+    assert head.cm_finals
+    params = head.init(jax.random.PRNGKey(5))
+    rng = np.random.RandomState(6)
+    b = 2
+    feats = [jnp.asarray(rng.randn(b, 40 // 2 ** i, 52 // 2 ** i, 32)
+                         .astype(np.float32) * 0.3) for i in range(5)]
+    img_shapes = jnp.asarray([[316.0, 410.0], [320.0, 416.0]])
+    scale_factors = jnp.full((b, 4), 1.5, jnp.float32)
+    cfg = dict(nms_pre=400, score_thr=0.02,
+               nms=dict(type='nms', iou_thr=0.5), max_per_img=50)
+    _run_pair(head, params, feats, img_shapes, scale_factors, cfg)
+
+
 def test_fsaf_opts_out():
     from arfe_tpu.models.dense_heads import FSAFHead
     assert not FSAFHead.cm_finals
