@@ -78,11 +78,19 @@ class SingleStageDetector(Module):
     def _head_bboxes(self, params, x, img_shapes, scale_factors, rescale):
         """Head inference; channel-major finals when the head supports them
         (see AnchorHead.get_bboxes_feats — avoids the NHWC lane-untile on
-        few-channel head outputs). ARFE_TPU_CM_FINALS=0 reverts to the
-        NHWC forward + get_bboxes path."""
+        few-channel head outputs). OPT-IN via ARFE_TPU_CM_FINALS=1: on real
+        TPU the composed backbone+neck+CM-head graph trips an XLA codegen
+        fault (bare jit, bs8 — same family as the fori_loop fault noted in
+        bench.py); an optimization_barrier on the neck outputs avoids it but
+        also blocks the fusion that made CM profitable (measured 161.2 vs
+        164.4 img/s NHWC on RetinaNet bs8), so NHWC ships as default."""
         import os
         if (getattr(self.bbox_head, 'cm_finals', False)
-                and os.environ.get('ARFE_TPU_CM_FINALS', '1') != '0'):
+                and os.environ.get('ARFE_TPU_CM_FINALS', '0') == '1'):
+            # Keep the barrier for the opt-in path: without it the composed
+            # graph kernel-faults the TPU worker. Head-only and op-isolated
+            # runs are clean.
+            x = list(jax.lax.optimization_barrier(tuple(x)))
             return self.bbox_head.get_bboxes_feats(
                 params['bbox_head'], x, img_shapes, scale_factors,
                 rescale=rescale)
