@@ -523,6 +523,126 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
             win, o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], wsem).wait()
 
 
+def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
+                     z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem, *,
+                     out_size, sample_num, c, nbuf, nr):
+    """Pipelined variant of :func:`_bwd_kernel`: RoI ``i`` accumulates into
+    gradient-buffer set ``i % nbuf`` (the sets are folded into the batch
+    dim of the out buffers — ``b_ref`` rows are ``set * B + b`` — so the
+    DMA branches are identical to the serialized kernel). Disjoint sets
+    make concurrent read-modify-write cycles race-free: the window read
+    for RoI ``r + 1`` only has to wait for the write of RoI ``r + 1 -
+    nbuf`` (same scratch slot and buffer set), which by then has had
+    ``nbuf - 2`` full grid steps to drain. With nbuf >= 3 both the read
+    and the write latency hide behind compute; the serialized kernel
+    paid read + compute + write on every RoI. XLA sums the sets after
+    the kernel (a cheap dense add vs ~3 MB/RoI of serialized DMA)."""
+    del z0, z1, z2, z3  # aliased to o0..o3; accumulate through the outs
+    r = pl.program_id(0)
+    outs = (o0, o1, o2, o3)
+    sizes = ((2, TWH, TWW), (1, SWH, SWW), (0, WH, WW))
+
+    def start_read(row, slot):
+        lvl = lvl_ref[row]
+        b = b_ref[row]
+        yo = yo_ref[row]
+        xo = pl.multiple_of(xo_ref[row], 8)
+        sm = sm_ref[row]
+        for k in range(4):
+            for code, bh, bw in sizes:
+                @pl.when((lvl == k) & (sm == code))
+                def _(k=k, bh=bh, bw=bw):
+                    pltpu.make_async_copy(
+                        outs[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
+                        win.at[slot, pl.ds(0, bh), pl.ds(0, bw)],
+                        rsem.at[slot]).start()
+
+    def wait_dma(sem, slot, sm):
+        for code, bh, bw in sizes:
+            @pl.when(sm == code)
+            def _(bh=bh, bw=bw):
+                pltpu.make_async_copy(
+                    o0.at[0, pl.ds(0, bh), pl.ds(0, bw), :],
+                    win.at[slot, pl.ds(0, bh), pl.ds(0, bw)],
+                    sem.at[slot]).wait()
+
+    def start_write(row, slot):
+        lvl = lvl_ref[row]
+        b = b_ref[row]
+        yo = yo_ref[row]
+        xo = pl.multiple_of(xo_ref[row], 8)
+        sm = sm_ref[row]
+        for k in range(4):
+            for code, bh, bw in sizes:
+                @pl.when((lvl == k) & (sm == code))
+                def _(k=k, bh=bh, bw=bw):
+                    pltpu.make_async_copy(
+                        win.at[slot, pl.ds(0, bh), pl.ds(0, bw)],
+                        outs[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
+                        wsem.at[slot]).start()
+
+    slot = jax.lax.rem(r, nbuf)
+
+    @pl.when(r == 0)
+    def _():
+        start_read(0, 0)
+
+    # prefetch read(r+1): its slot/buffer set was last written by RoI
+    # r+1-nbuf, whose write started nbuf-1 steps ago — wait it, then read
+    nxt = r + 1
+
+    @pl.when(nxt < nr)
+    def _():
+        slot_n = jax.lax.rem(nxt, nbuf)
+        jprev = nxt - nbuf
+
+        @pl.when(jprev >= 0)
+        def _():
+            wait_dma(wsem, slot_n, sm_ref[jnp.maximum(jprev, 0)])
+        start_read(nxt, slot_n)
+
+    wait_dma(rsem, slot, sm_ref[r])
+
+    oh, ow = out_size
+    sn = sample_num
+    ns = oh * sn
+    v = vec_ref[0]                      # (8, VW)
+    y0r, y1r, wy0, wy1 = v[0, :ns], v[1, :ns], v[2, :ns], v[3, :ns]
+    x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
+
+    g = g_ref[0].astype(jnp.float32)    # (oh, ow, c)
+    g_s = jnp.repeat(jnp.repeat(g, sn, axis=0), sn, axis=1) \
+        / float(sn * sn)                # (ns, ns, c)
+
+    ixT = jax.lax.broadcasted_iota(jnp.int32, (WW, ns), 0).astype(
+        jnp.float32)
+    sxT = ((ixT == x0r[None, :]).astype(jnp.float32) * wx0[None, :]
+           + (ixT == x1r[None, :]).astype(jnp.float32) * wx1[None, :])
+    rows = []
+    for iy in range(ns):
+        rows.append(jnp.dot(sxT, g_s[iy],
+                            preferred_element_type=jnp.float32))
+    rowg = jnp.stack(rows)              # (ns, WW, c)
+
+    iyT = jax.lax.broadcasted_iota(jnp.int32, (WH, ns), 0).astype(
+        jnp.float32)
+    syT = ((iyT == y0r[None, :]).astype(jnp.float32) * wy0[None, :]
+           + (iyT == y1r[None, :]).astype(jnp.float32) * wy1[None, :])
+    win_add = jnp.dot(syT, rowg.reshape(ns, WW * c),
+                      preferred_element_type=jnp.float32)
+    win[slot] = win[slot] + win_add.reshape(WH, WW, c)
+
+    start_write(r, slot)
+
+    # epilogue: the last min(nbuf, nr) writes have no later read to wait
+    # on them — drain here so the kernel exits with balanced semaphores
+    @pl.when(r == nr - 1)
+    def _():
+        for kk in range(min(nbuf, nr)):
+            j = nr - 1 - kk
+            wait_dma(wsem, j % nbuf, sm_ref[j])
+
+
 def roi_align_pallas_bwd(g, rois, feat_shapes,
                          featmap_strides=(4, 8, 16, 32), finest_scale=56,
                          sample_num=2, aligned=True, target_lvls=None):
@@ -567,10 +687,38 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
         rois, real_sizes, pad_sizes, target_lvls, featmap_strides,
         finest_scale, out_size, sn, aligned)
 
-    zeros = [jnp.zeros((b, int(ph), int(pw), c), jnp.float32)
-             for ph, pw in pad_sizes]
-    kernel = functools.partial(_bwd_kernel, out_size=out_size,
-                               sample_num=sn, c=c)
+    # pipelined RMW: nbuf disjoint gradient-buffer sets folded into the
+    # batch dim (row = set * B + b); VMEM holds nbuf window slots, so cap
+    # nbuf where channels would blow the ~16 MB budget. nbuf=1 keeps the
+    # strictly serialized kernel.
+    import os
+    nbuf = int(os.environ.get('ARFE_TPU_ROI_BWD_NBUF', '3'))
+    max_slots = max(1, int(12 * 2 ** 20 / (WH * WW * c * 4)))
+    nbuf = max(1, min(nbuf, max_slots, r))
+
+    if nbuf > 1:
+        b_arr = (jnp.arange(r, dtype=jnp.int32) % nbuf) * b + b_arr
+        zeros = [jnp.zeros((nbuf * b, int(ph), int(pw), c), jnp.float32)
+                 for ph, pw in pad_sizes]
+        kernel = functools.partial(_bwd_kernel_pipe, out_size=out_size,
+                                   sample_num=sn, c=c, nbuf=nbuf, nr=r)
+        scratch = [
+            pltpu.VMEM((nbuf, WH, WW, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ]
+        nrows = nbuf * b
+    else:
+        zeros = [jnp.zeros((b, int(ph), int(pw), c), jnp.float32)
+                 for ph, pw in pad_sizes]
+        kernel = functools.partial(_bwd_kernel, out_size=out_size,
+                                   sample_num=sn, c=c)
+        scratch = [
+            pltpu.VMEM((WH, WW, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        nrows = b
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(r,),
@@ -586,22 +734,20 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((WH, WW, c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, int(ph), int(pw), c),
+        out_shape=[jax.ShapeDtypeStruct((nrows, int(ph), int(pw), c),
                                         jnp.float32)
                    for ph, pw in pad_sizes],
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lvl_arr, b_arr, yorg, xorg, sm_arr, vec, g.astype(jnp.float32),
       *zeros)
+    if nbuf > 1:
+        outs = [o.reshape(nbuf, b, *o.shape[1:]).sum(axis=0) for o in outs]
     # crop padding back to the real level extents
     return [o[:, :int(hs), :int(ws), :]
             for o, (hs, ws) in zip(outs, real_sizes)]

@@ -61,7 +61,7 @@ def build_flagship():
     return model, params
 
 
-def build_from_config(path, space_to_depth=True):
+def build_from_config(path, space_to_depth=True, with_train_cfg=False):
     from arfe_tpu import Config
     from arfe_tpu.models import build_detector
     cfg = Config.fromfile(path)
@@ -69,7 +69,10 @@ def build_from_config(path, space_to_depth=True):
     model_cfg.pop('pretrained', None)
     if space_to_depth:
         model_cfg['backbone']['stem_space_to_depth'] = True
-    model = build_detector(model_cfg, test_cfg=cfg.todict()['test_cfg'])
+    kw = dict(test_cfg=cfg.todict()['test_cfg'])
+    if with_train_cfg:
+        kw['train_cfg'] = cfg.todict()['train_cfg']
+    model = build_detector(model_cfg, **kw)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     return model, params
 
@@ -139,7 +142,8 @@ def measure(loop, params, img, n_small=2, n_big=12):
     return (times[n_big] - times[n_small]) / (n_big - n_small)
 
 
-def measure_train_step(model, params, batch_size=4, n_small=3, n_big=13):
+def measure_train_step(model, params, batch_size=4, n_small=3, n_big=13,
+                       with_masks=False):
     """DP train-step throughput on the attached chip(s): fwd + bwd + SGD
     update at the bench resolution, chained-dispatch timing (the train
     graph inside lax.fori_loop would need non-donated buffers anyway).
@@ -174,6 +178,9 @@ def measure_train_step(model, params, batch_size=4, n_small=3, n_big=13):
         gt_bboxes=jnp.asarray(gt_bboxes),
         gt_valid=jnp.asarray(gt_valid),
         gt_labels=jnp.asarray(gt_labels))
+    if with_masks:
+        batch['gt_mask_crops'] = jnp.asarray(
+            (r.rand(b, g, 28, 28) > 0.5).astype(np.float32))
     key = jax.random.PRNGKey(0)
     with mesh:
         p = replicate(mesh, params)
@@ -256,6 +263,19 @@ def main():
             m, p = build_from_config(path)
             it = measure_chained(m, p, img, BATCH, n_small=2, n_big=12)
             extra_rows[name] = round(BATCH / it, 2)
+        except Exception as e:
+            extra_rows[name] = f'failed: {e!r:.80}'
+
+    # training rows for the mask / cascade families (VERDICT r3 item 5)
+    for name, path, with_masks in (
+            ('mask_rcnn_r50_arfpn_train_img_per_sec',
+             'configs/arfe/mask_rcnn_r50_arfpn_1x_coco.py', True),
+            ('cascade_rcnn_r50_arfpn_train_img_per_sec',
+             'configs/arfe/cascade_rcnn_r50_arfpn_1x_coco.py', False)):
+        try:
+            m, p = build_from_config(path, with_train_cfg=True)
+            extra_rows[name] = round(measure_train_step(
+                m, p, n_small=2, n_big=8, with_masks=with_masks), 2)
         except Exception as e:
             extra_rows[name] = f'failed: {e!r:.80}'
 

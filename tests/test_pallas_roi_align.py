@@ -92,3 +92,38 @@ def test_pallas_matches_jnp_14x14_interpret():
         got = np.asarray(roi_align_pallas(feats, rois_j, (14, 14), strides,
                                           56, 2, True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_pallas_bwd_pipelined_overlap_stress_interpret():
+    """The pipelined (nbuf-set) backward must accumulate exactly like the
+    serialized kernel when many RoIs share overlapping windows — the
+    race-prone case the disjoint buffer sets exist for. Covers RoI counts
+    not divisible by nbuf and nr < nbuf."""
+    import os
+    from arfe_tpu.ops.pallas_roi_align import roi_align_pallas_bwd
+
+    rng = np.random.RandomState(7)
+    b, c = 2, 256
+    feats = [jnp.asarray(rng.randn(b, 64 // (2 ** i) + 8, 96 // (2 ** i),
+                                   c).astype(np.float32)) for i in range(4)]
+    strides = [4, 8, 16, 32]
+    for r in (2, 7):
+        # jittered clones of one box: every window overlaps every other
+        base = np.array([40.0, 50.0, 120.0, 140.0])
+        rois = np.concatenate([
+            rng.randint(0, b, (r, 1)).astype(np.float32),
+            base[None] + rng.uniform(-6, 6, (r, 4)).astype(np.float32),
+        ], axis=1).astype(np.float32)
+        rois_j = jnp.asarray(rois)
+        g = jnp.asarray(rng.randn(r, 7, 7, c).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda f: roi_align_pyramid(list(f), rois_j, (7, 7), strides,
+                                        56, 2, True), feats)
+        (ref,) = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            got = roi_align_pallas_bwd(
+                g, rois_j, [f.shape for f in feats], strides, 56, 2, True)
+        for lvl, (r_, g_) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(np.asarray(g_), np.asarray(r_),
+                                       atol=1e-3,
+                                       err_msg=f'r={r} level {lvl}')
