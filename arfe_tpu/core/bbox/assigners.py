@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ...registry import BBOX_ASSIGNERS
+from ...layers import take_rows
 from .iou import bbox_overlaps
 
 
@@ -114,7 +115,7 @@ class MaxIoUAssigner:
         labels = None
         if gt_labels is not None:
             safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-            labels = jnp.where(assigned > 0, gt_labels[safe], -1)
+            labels = jnp.where(assigned > 0, take_rows(gt_labels, safe), -1)
             labels = labels.astype(jnp.int32)
         return dict(assigned_gt_inds=assigned, max_overlaps=max_overlaps,
                     labels=labels)

@@ -19,7 +19,7 @@ from ...core.bbox.coder import delta2bbox
 from ...core.post.bbox_nms import multiclass_nms
 from ...registry import (ANCHOR_GENERATORS, BBOX_ASSIGNERS, BBOX_CODERS,
                          BBOX_SAMPLERS, HEADS, LOSSES, build_from_cfg)
-from ..layers import Conv2d, Module
+from ..layers import Conv2d, Module, take_rows
 
 
 def anchor_inside_flags(flat_anchors, valid_flags, img_shape,
@@ -336,7 +336,7 @@ class AnchorHead(Module):
         bbox_weights = jnp.zeros((n, 4), jnp.float32)
 
         safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        matched_gt = gt_bboxes[safe_gt]
+        matched_gt = take_rows(gt_bboxes, safe_gt)
         if not self.reg_decoded_bbox:
             all_targets = self.bbox_coder.encode(anchors, matched_gt)
         else:
@@ -344,7 +344,7 @@ class AnchorHead(Module):
         if gt_labels is None:
             all_labels = jnp.ones((n,), jnp.int32)  # RPN FG label is 1
         else:
-            all_labels = gt_labels[safe_gt].astype(jnp.int32)
+            all_labels = take_rows(gt_labels.astype(jnp.int32), safe_gt)
 
         if self.sampling:
             inds, is_pos, svalid = (sample['inds'], sample['is_pos'],

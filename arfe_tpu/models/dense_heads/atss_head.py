@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...registry import HEADS, LOSSES, build_from_cfg
-from ..layers import Conv2d, ConvModule
+from ..layers import Conv2d, ConvModule, take_rows
 from .anchor_head import AnchorHead, anchor_inside_flags
 
 
@@ -118,11 +118,11 @@ class ATSSHead(AnchorHead):
         pos = assigned > 0
         n = anchors.shape[0]
         safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        matched_gt = gt_bboxes[safe]
+        matched_gt = take_rows(gt_bboxes, safe)
         bbox_targets = jnp.where(pos[:, None],
                                  self.bbox_coder.encode(anchors, matched_gt),
                                  jnp.zeros((n, 4), jnp.float32))
-        labels = jnp.where(pos, gt_labels[safe].astype(jnp.int32),
+        labels = jnp.where(pos, take_rows(gt_labels.astype(jnp.int32), safe),
                            self.background_label)
         pos_w = cfg.get('pos_weight', -1)
         pos_w = 1.0 if pos_w <= 0 else pos_w

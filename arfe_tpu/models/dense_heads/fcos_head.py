@@ -14,7 +14,7 @@ import numpy as np
 from ...core.bbox.transforms import distance2bbox
 from ...core.post.bbox_nms import multiclass_nms
 from ...registry import HEADS, LOSSES, build_from_cfg
-from ..layers import Conv2d, ConvModule, Module
+from ..layers import Conv2d, ConvModule, Module, take_rows
 
 INF = 1e8
 
@@ -272,9 +272,10 @@ class FCOSHead(Module):
         min_area_idx = cand_areas.argmin(-1)
         min_area = cand_areas.min(-1)
         pos = min_area < INF
-        labels = jnp.where(pos, gt_labels[min_area_idx],
+        labels = jnp.where(pos, take_rows(gt_labels, min_area_idx),
                            self.background_label).astype(jnp.int32)
-        tgt = bbox_targets[jnp.arange(num_points), min_area_idx]
+        tgt = take_rows(bbox_targets.swapaxes(0, 1), min_area_idx,
+                per_row=True)
         return labels, tgt, pos
 
     def loss(self, cls_scores, bbox_preds, centernesses, gt_bboxes, gt_valid,

@@ -20,7 +20,7 @@ import numpy as np
 
 from ...core.post.bbox_nms import multiclass_nms
 from ...registry import HEADS, LOSSES, build_from_cfg
-from ..layers import Conv2d, ConvModule, Module
+from ..layers import Conv2d, ConvModule, Module, take_rows
 
 INF = 1e8
 
@@ -205,11 +205,11 @@ class FoveaHead(Module):
         win = cand.argmin(-1)
         pos = cand.min(-1) < INF
 
-        labels = jnp.where(pos, gt_labels[win],
+        labels = jnp.where(pos, take_rows(gt_labels, win),
                            self.background_label).astype(jnp.int32)
         gx = (xi + 0.5) * stride
         gy = (yi + 0.5) * stride
-        wb = gt_bboxes[win]                                       # (P, 4)
+        wb = take_rows(gt_bboxes, win)                            # (P, 4)
         t = jnp.stack([(gx - wb[:, 0]) / base_len,
                        (gy - wb[:, 1]) / base_len,
                        (wb[:, 2] - gx) / base_len,

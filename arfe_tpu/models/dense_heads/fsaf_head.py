@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...registry import HEADS
-from ..layers import Conv2d
+from ..layers import Conv2d, take_rows
 from .anchor_head import anchor_inside_flags
 from .retina_head import RetinaHead
 
@@ -72,7 +72,7 @@ class FSAFHead(RetinaHead):
 
         pos = assigned > 0
         safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        labels_pos = gt_labels[safe].astype(jnp.int32)
+        labels_pos = take_rows(gt_labels.astype(jnp.int32), safe)
         # "one label cannot be both positive and ignored": a positive anchor
         # shadowed for its own class flips to shadow (ref
         # center_region_assigner.py:234-238)
@@ -89,7 +89,7 @@ class FSAFHead(RetinaHead):
         label_weights = jnp.broadcast_to(lw_row[:, None], (n, c))
         label_weights = jnp.where(shadow_cls, 0.0, label_weights)
 
-        bbox_targets = jnp.where(pos[:, None], gt_bboxes[safe],
+        bbox_targets = jnp.where(pos[:, None], take_rows(gt_bboxes, safe),
                                  jnp.zeros((n, 4), jnp.float32))
         bbox_weights = pos.astype(jnp.float32)
         pos_gt_inds = jnp.where(pos, safe, -1).astype(jnp.int32)

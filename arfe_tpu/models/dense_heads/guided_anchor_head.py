@@ -33,7 +33,7 @@ from ...core.post.bbox_nms import multiclass_nms
 from ...ops.nms import batched_nms
 from ...registry import (ANCHOR_GENERATORS, BBOX_ASSIGNERS, BBOX_CODERS,
                          HEADS, LOSSES, build_from_cfg)
-from ..layers import Conv2d, Module
+from ..layers import Conv2d, Module, take_rows
 from .anchor_head import AnchorHead, anchor_inside_flags
 
 
@@ -279,7 +279,7 @@ class GuidedAnchorHead(AnchorHead):
         assigned = res['assigned_gt_inds']
         pos = assigned > 0
         safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
-        bbox_gts = jnp.where(pos[:, None], gtb[safe], 0.0)
+        bbox_gts = jnp.where(pos[:, None], take_rows(gtb, safe), 0.0)
         bbox_weights = jnp.where(
             pos[:, None], 1.0,
             jnp.zeros((squares.shape[0], 4), jnp.float32))
@@ -412,7 +412,7 @@ class GuidedAnchorHead(AnchorHead):
         labels = jnp.full((n,), self.background_label, jnp.int32)
         label_weights = jnp.zeros((n,), jnp.float32)
         safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        matched_gt = gt_bboxes[safe_gt]
+        matched_gt = take_rows(gt_bboxes, safe_gt)
         if not self.reg_decoded_bbox:
             all_targets = self.bbox_coder.encode(anchors, matched_gt)
         else:
@@ -420,7 +420,7 @@ class GuidedAnchorHead(AnchorHead):
         if gt_labels is None:
             all_labels = jnp.ones((n,), jnp.int32)
         else:
-            all_labels = gt_labels[safe_gt].astype(jnp.int32)
+            all_labels = take_rows(gt_labels.astype(jnp.int32), safe_gt)
         if self.sampling:
             inds, is_pos, svalid = (sample['inds'], sample['is_pos'],
                                     sample['valid'])

@@ -25,7 +25,7 @@ import numpy as np
 from ...core.anchor.generator import PointGenerator
 from ...core.post.bbox_nms import multiclass_nms
 from ...registry import (BBOX_ASSIGNERS, HEADS, LOSSES, build_from_cfg)
-from ..layers import Conv2d, ConvModule, Module
+from ..layers import Conv2d, ConvModule, Module, take_rows
 
 
 @HEADS.register_module()
@@ -289,8 +289,8 @@ class RepPointsHead(Module):
         pos = assigned > 0
         neg = assigned == 0
         safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        bbox_gt = jnp.where(pos[:, None], gt_bboxes[safe], 0.0)
-        labels = jnp.where(pos, gt_labels[safe],
+        bbox_gt = jnp.where(pos[:, None], take_rows(gt_bboxes, safe), 0.0)
+        labels = jnp.where(pos, take_rows(gt_labels, safe),
                            self.background_label).astype(jnp.int32)
         pw = 1.0 if pos_weight <= 0 else pos_weight
         label_weights = jnp.where(pos, pw, 0.0)

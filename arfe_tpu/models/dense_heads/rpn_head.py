@@ -138,7 +138,10 @@ class RPNHead(AnchorHead):
             hwa = scores.shape[1]
             anchors = jnp.asarray(anchors)
             if nms_pre > 0 and hwa > nms_pre:
-                scores, idx = jax.lax.top_k(scores, nms_pre)
+                if cfg.get('approx_topk', False):
+                    scores, idx = jax.lax.approx_max_k(scores, nms_pre)
+                else:
+                    scores, idx = jax.lax.top_k(scores, nms_pre)
                 preds = jnp.take_along_axis(preds, idx[..., None], axis=1)
                 anc = anchors[idx]
             else:
@@ -206,7 +209,16 @@ class RPNHead(AnchorHead):
                 .transpose(1, 0, 2).reshape(num_a * hw, 4)
             hwa = num_a * hw
             if nms_pre > 0 and hwa > nms_pre:
-                lg, idx = jax.lax.top_k(logits, nms_pre)
+                if cfg.get('approx_topk', False):
+                    # train-proposal option: single-pass binned top-k
+                    # (recall ~0.95; deterministic, exactly k results) —
+                    # 2.26 -> 0.40 ms at (4, 201k) k=2000. The <=5% of
+                    # true top-k candidates it replaces feed the RCNN
+                    # sampler, a stochastic consumer; keep the exact sort
+                    # for test-time proposals.
+                    lg, idx = jax.lax.approx_max_k(logits, nms_pre)
+                else:
+                    lg, idx = jax.lax.top_k(logits, nms_pre)
                 scores = jax.nn.sigmoid(lg)
                 prd = jnp.take_along_axis(preds, idx[:, None, :], axis=2) \
                     .transpose(0, 2, 1)

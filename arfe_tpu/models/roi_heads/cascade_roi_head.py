@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...registry import (BBOX_ASSIGNERS, BBOX_SAMPLERS, HEADS,
                          build_from_cfg)
 from ..builder import build_head, build_roi_extractor
-from ..layers import Module
+from ..layers import Module, take_rows
 
 
 @HEADS.register_module()
@@ -93,9 +93,9 @@ class CascadeRoIHead(Module):
         inds = sample['inds']
         assigned = assign['assigned_gt_inds'][inds]
         safe_gt = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-        return dict(boxes=boxes[inds], gt_boxes=gt_bboxes[safe_gt],
+        return dict(boxes=boxes[inds], gt_boxes=take_rows(gt_bboxes, safe_gt),
                     gt_inds=safe_gt,
-                    labels=gt_labels[safe_gt].astype(jnp.int32),
+                    labels=take_rows(gt_labels.astype(jnp.int32), safe_gt),
                     is_pos=sample['is_pos'], valid=sample['valid'],
                     is_gt=is_gt_cand[inds])
 
@@ -153,7 +153,8 @@ class CascadeRoIHead(Module):
                 m = mask_pred.shape[1]
 
                 def mtgt(crops, gt_inds, gt_bx, bx):
-                    return mask_target_from_crops(crops[gt_inds], gt_bx, bx,
+                    return mask_target_from_crops(take_rows(crops, gt_inds),
+                                                  gt_bx, bx,
                                                   mask_size=m)
 
                 targets = jax.vmap(mtgt)(gt_mask_crops, sampled['gt_inds'],

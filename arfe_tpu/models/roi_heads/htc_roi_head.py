@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...layers import take_rows
 from ...registry import HEADS
 from ..builder import build_head, build_roi_extractor
 from .cascade_roi_head import CascadeRoIHead
@@ -184,7 +185,8 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
                 m = mask_pred.shape[1]
 
                 def mtgt(crops, gt_inds, gt_bx, bx):
-                    return mask_target_from_crops(crops[gt_inds], gt_bx, bx,
+                    return mask_target_from_crops(take_rows(crops, gt_inds),
+                                                  gt_bx, bx,
                                                   mask_size=m)
 
                 targets = jax.vmap(mtgt)(

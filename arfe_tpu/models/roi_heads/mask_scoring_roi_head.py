@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...layers import take_rows
 from ...registry import HEADS
 from ..builder import build_head
 from .standard_roi_head import StandardRoIHead
@@ -44,7 +45,8 @@ class MaskScoringRoIHead(StandardRoIHead):
         m = mask_pred.shape[1]
 
         def tgt_one(crops, gt_inds, gt_boxes, boxes):
-            return mask_target_from_crops(crops[gt_inds], gt_boxes, boxes,
+            return mask_target_from_crops(take_rows(crops, gt_inds),
+                                          gt_boxes, boxes,
                                           mask_size=m)
 
         targets = jax.vmap(tgt_one)(gt_mask_crops, sampled['gt_inds'],
@@ -75,7 +77,8 @@ class MaskScoringRoIHead(StandardRoIHead):
                                * (boxes[:, 3] - boxes[:, 1]), 1e-2)
         gt_area = jnp.maximum((gt_boxes[:, 2] - gt_boxes[:, 0])
                               * (gt_boxes[:, 3] - gt_boxes[:, 1]), 1e-2)
-        crop_mean = jax.vmap(lambda crops, gi: crops[gi].mean((-1, -2)))(
+        crop_mean = jax.vmap(
+            lambda crops, gi: take_rows(crops, gi).mean((-1, -2)))(
             gt_mask_crops, sampled['gt_inds']).reshape(b * s)
         gt_in_roi = targets.mean((-1, -2)) * roi_area
         gt_full_px = crop_mean * gt_area

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ...registry import (BBOX_ASSIGNERS, BBOX_SAMPLERS, HEADS,
                          build_from_cfg)
 from ..builder import build_head, build_roi_extractor
-from ..layers import Module
+from ..layers import Module, take_rows
 
 
 @HEADS.register_module()
@@ -107,9 +107,9 @@ class StandardRoIHead(Module):
         safe_gt = jnp.clip(assigned_s - 1, 0, gt_bboxes.shape[0] - 1)
         return dict(
             boxes=boxes[inds],
-            gt_boxes=gt_bboxes[safe_gt],
+            gt_boxes=take_rows(gt_bboxes, safe_gt),
             gt_inds=safe_gt,
-            labels=gt_labels[safe_gt].astype(jnp.int32),
+            labels=take_rows(gt_labels.astype(jnp.int32), safe_gt),
             is_pos=sample['is_pos'],
             valid=sample['valid'],
         )
@@ -235,8 +235,8 @@ class StandardRoIHead(Module):
         m = mask_pred.shape[1]
 
         def tgt_one(crops, gt_inds, gt_boxes, boxes):
-            return mask_target_from_crops(crops[gt_inds], gt_boxes, boxes,
-                                          mask_size=m)
+            return mask_target_from_crops(take_rows(crops, gt_inds),
+                                          gt_boxes, boxes, mask_size=m)
 
         targets = jax.vmap(tgt_one)(gt_mask_crops, sampled['gt_inds'],
                                     sampled['gt_boxes'], sampled['boxes'])

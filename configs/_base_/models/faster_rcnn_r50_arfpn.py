@@ -83,7 +83,12 @@ train_cfg = dict(
         nms_post=1000,
         max_num=1000,
         nms_thr=0.7,
-        min_bbox_size=0),
+        min_bbox_size=0,
+        # TPU divergence from the reference schema (train-only proposals):
+        # binned approximate nms_pre top-k, recall ~0.95, deterministic —
+        # 5.7x faster candidate selection feeding the stochastic RCNN
+        # sampler. Test-time proposals (test_cfg.rpn) stay exact.
+        approx_topk=True),
     rcnn=dict(
         assigner=dict(
             type='MaxIoUAssigner',

@@ -72,3 +72,27 @@ def test_ssd_base_anchors_match_reference():
     np.testing.assert_allclose(gen.base_anchors[1][0],
                                [8 - 22.5, 8 - 22.5, 8 + 22.5, 8 + 22.5],
                                rtol=1e-6)
+
+
+def test_take_rows_matches_gather():
+    """take_rows (masked select-sum for small gt tables; see layers.py)
+    must equal the native gather in all its modes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from arfe_tpu.layers import take_rows
+
+    r = np.random.RandomState(3)
+    idx = jnp.asarray(r.randint(0, 16, (777,)))
+    box_t = jnp.asarray(r.randn(16, 4).astype(np.float32))
+    np.testing.assert_allclose(take_rows(box_t, idx), box_t[idx])
+    lab_t = jnp.asarray(r.randint(0, 80, (16,)).astype(np.int32))
+    np.testing.assert_array_equal(take_rows(lab_t, idx), lab_t[idx])
+    per_t = jnp.asarray(r.randn(16, 777, 4).astype(np.float32))
+    np.testing.assert_allclose(take_rows(per_t, idx, per_row=True),
+                               per_t[idx, jnp.arange(777)])
+    big_t = jnp.asarray(r.randn(100, 4).astype(np.float32))
+    big_i = jnp.asarray(r.randint(0, 100, (33,)))
+    np.testing.assert_allclose(take_rows(big_t, big_i), big_t[big_i])
+    big_p = jnp.asarray(r.randn(100, 33, 2).astype(np.float32))
+    np.testing.assert_allclose(take_rows(big_p, big_i, per_row=True),
+                               big_p[big_i, jnp.arange(33)])
