@@ -37,6 +37,14 @@ SWH, SWW = 32, 40
 # smaller half of RoIs (extent <= 22 rows / <= 23-30 cols after 8-aligned
 # x-origin slop) fits (24, 32) — another 1.6x fewer DMA bytes vs (32, 40).
 TWH, TWW = 24, 32
+# fourth (quarter) bucket: measured on flagship bs8 proposals, 70% of the
+# AR-RFF triple fits (16, 24) (extent <= 14 rows); 2x fewer bytes again.
+QWH, QWW = 16, 24
+
+
+# bucket table shared by the fwd/bwd kernels and the window prep:
+# (sm code, window rows, window cols), smallest first
+_BUCKETS = ((3, QWH, QWW), (2, TWH, TWW), (1, SWH, SWW), (0, WH, WW))
 
 
 # scalar-vector block lane width for ns samples per axis: 16 covers the
@@ -62,28 +70,16 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
         xo = pl.multiple_of(xo_ref[row], 8)
         sm = sm_ref[row]
         for k in range(num_levels):
-            # adaptive window: the small/tiny buckets move 2.4x/3.9x fewer
+            # adaptive window: the smaller buckets move 2.4x-8x fewer
             # bytes; the kernel math is window-size agnostic (one-hot
             # weights never touch the stale region)
-            @pl.when((lvl == k) & (sm == 2))
-            def _():
-                pltpu.make_async_copy(
-                    feats[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
-                    win.at[slot, pl.ds(0, TWH), pl.ds(0, TWW)],
-                    sems.at[slot]).start()
-
-            @pl.when((lvl == k) & (sm == 1))
-            def _():
-                pltpu.make_async_copy(
-                    feats[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
-                    win.at[slot, pl.ds(0, SWH), pl.ds(0, SWW)],
-                    sems.at[slot]).start()
-
-            @pl.when((lvl == k) & (sm == 0))
-            def _():
-                pltpu.make_async_copy(
-                    feats[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
-                    win.at[slot], sems.at[slot]).start()
+            for code, bh, bw in _BUCKETS:
+                @pl.when((lvl == k) & (sm == code))
+                def _(k=k, bh=bh, bw=bw):
+                    pltpu.make_async_copy(
+                        feats[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
+                        win.at[slot, pl.ds(0, bh), pl.ds(0, bw)],
+                        sems.at[slot]).start()
 
     # one-time zero of the scratch: small-window rois leave the tail of
     # the window stale, and uninitialized VMEM bits can decode to NaN
@@ -106,25 +102,13 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
         start_dma(0, r)
         slot = 0
     # wait: descriptor shape is level-independent but window-size specific
-    @pl.when(sm_ref[r] == 2)
-    def _():
-        pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :],
-            win.at[slot, pl.ds(0, TWH), pl.ds(0, TWW)],
-            sems.at[slot]).wait()
-
-    @pl.when(sm_ref[r] == 1)
-    def _():
-        pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :],
-            win.at[slot, pl.ds(0, SWH), pl.ds(0, SWW)],
-            sems.at[slot]).wait()
-
-    @pl.when(sm_ref[r] == 0)
-    def _():
-        pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win.at[slot],
-            sems.at[slot]).wait()
+    for code, bh, bw in _BUCKETS:
+        @pl.when(sm_ref[r] == code)
+        def _(bh=bh, bw=bw):
+            pltpu.make_async_copy(
+                f0.at[0, pl.ds(0, bh), pl.ds(0, bw), :],
+                win.at[slot, pl.ds(0, bh), pl.ds(0, bw)],
+                sems.at[slot]).wait()
 
     oh, ow = out_size
     sn = sample_num
@@ -217,14 +201,13 @@ def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
 
     # adaptive window buckets (see _kernel): a bucket is exact whenever
     # the sample extents fit its window unclipped; pick the smallest
-    # fitting bucket per RoI (sm: 2 = tiny, 1 = small, 0 = full)
+    # fitting bucket per RoI (sm codes in _BUCKETS, 0 = full)
     cc_y = jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0)
     cc_x = jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0)
     sm_arr = None
     picked = None
     fitted = None
-    for code, (bwh, bww) in ((2, (TWH, TWW)), (1, (SWH, SWW)),
-                             (0, (WH, WW))):
+    for code, bwh, bww in _BUCKETS:
         yp = axis_params(ys, lvl_h, pad_h, bwh, pair_mode=True)
         xp = axis_params(xs, lvl_w, pad_w, bww, align=8)
         cand = yp + xp
@@ -418,40 +401,19 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     xo = pl.multiple_of(xo_ref[r], 8)
     sm = sm_ref[r]
     for k in range(4):
-        @pl.when((lvl == k) & (sm == 2))
-        def _():
+        for code, bh, bw in _BUCKETS:
+            @pl.when((lvl == k) & (sm == code))
+            def _(k=k, bh=bh, bw=bw):
+                pltpu.make_async_copy(
+                    outs[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
+                    win.at[pl.ds(0, bh), pl.ds(0, bw)], rsem).start()
+
+    for code, bh, bw in _BUCKETS:
+        @pl.when(sm == code)
+        def _(bh=bh, bw=bw):
             pltpu.make_async_copy(
-                outs[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
-                win.at[pl.ds(0, TWH), pl.ds(0, TWW)], rsem).start()
-
-        @pl.when((lvl == k) & (sm == 1))
-        def _():
-            pltpu.make_async_copy(
-                outs[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
-                win.at[pl.ds(0, SWH), pl.ds(0, SWW)], rsem).start()
-
-        @pl.when((lvl == k) & (sm == 0))
-        def _():
-            pltpu.make_async_copy(
-                outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
-                win, rsem).start()
-
-    @pl.when(sm == 2)
-    def _():
-        pltpu.make_async_copy(
-            o0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :],
-            win.at[pl.ds(0, TWH), pl.ds(0, TWW)], rsem).wait()
-
-    @pl.when(sm == 1)
-    def _():
-        pltpu.make_async_copy(
-            o0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :],
-            win.at[pl.ds(0, SWH), pl.ds(0, SWW)], rsem).wait()
-
-    @pl.when(sm == 0)
-    def _():
-        pltpu.make_async_copy(
-            o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], win, rsem).wait()
+                o0.at[0, pl.ds(0, bh), pl.ds(0, bw), :],
+                win.at[pl.ds(0, bh), pl.ds(0, bw)], rsem).wait()
 
     oh, ow = out_size
     sn = sample_num
@@ -485,42 +447,20 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     win[...] = win[...] + win_add.reshape(WH, WW, c)
 
     for k in range(4):
-        @pl.when((lvl == k) & (sm == 2))
-        def _():
+        for code, bh, bw in _BUCKETS:
+            @pl.when((lvl == k) & (sm == code))
+            def _(k=k, bh=bh, bw=bw):
+                pltpu.make_async_copy(
+                    win.at[pl.ds(0, bh), pl.ds(0, bw)],
+                    outs[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
+                    wsem).start()
+
+    for code, bh, bw in _BUCKETS:
+        @pl.when(sm == code)
+        def _(bh=bh, bw=bw):
             pltpu.make_async_copy(
-                win.at[pl.ds(0, TWH), pl.ds(0, TWW)],
-                outs[k].at[b, pl.ds(yo, TWH), pl.ds(xo, TWW), :],
-                wsem).start()
-
-        @pl.when((lvl == k) & (sm == 1))
-        def _():
-            pltpu.make_async_copy(
-                win.at[pl.ds(0, SWH), pl.ds(0, SWW)],
-                outs[k].at[b, pl.ds(yo, SWH), pl.ds(xo, SWW), :],
-                wsem).start()
-
-        @pl.when((lvl == k) & (sm == 0))
-        def _():
-            pltpu.make_async_copy(
-                win, outs[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
-                wsem).start()
-
-    @pl.when(sm == 2)
-    def _():
-        pltpu.make_async_copy(
-            win.at[pl.ds(0, TWH), pl.ds(0, TWW)],
-            o0.at[0, pl.ds(0, TWH), pl.ds(0, TWW), :], wsem).wait()
-
-    @pl.when(sm == 1)
-    def _():
-        pltpu.make_async_copy(
-            win.at[pl.ds(0, SWH), pl.ds(0, SWW)],
-            o0.at[0, pl.ds(0, SWH), pl.ds(0, SWW), :], wsem).wait()
-
-    @pl.when(sm == 0)
-    def _():
-        pltpu.make_async_copy(
-            win, o0.at[0, pl.ds(0, WH), pl.ds(0, WW), :], wsem).wait()
+                win.at[pl.ds(0, bh), pl.ds(0, bw)],
+                o0.at[0, pl.ds(0, bh), pl.ds(0, bw), :], wsem).wait()
 
 
 def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
@@ -540,7 +480,7 @@ def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
     del z0, z1, z2, z3  # aliased to o0..o3; accumulate through the outs
     r = pl.program_id(0)
     outs = (o0, o1, o2, o3)
-    sizes = ((2, TWH, TWW), (1, SWH, SWW), (0, WH, WW))
+    sizes = _BUCKETS
 
     def start_read(row, slot):
         lvl = lvl_ref[row]

@@ -2,6 +2,7 @@
 same comparison was verified on real TPU hardware: median per-roi err ~8e-3
 from single-pass MXU interpolation, exact DMA)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
@@ -94,14 +95,18 @@ def test_pallas_matches_jnp_14x14_interpret():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
-def test_pallas_bwd_pipelined_overlap_stress_interpret():
+@pytest.mark.parametrize('nbuf', ['1', '3'])
+def test_pallas_bwd_pipelined_overlap_stress_interpret(nbuf, monkeypatch):
     """The pipelined (nbuf-set) backward must accumulate exactly like the
     serialized kernel when many RoIs share overlapping windows — the
     race-prone case the disjoint buffer sets exist for. Covers RoI counts
-    not divisible by nbuf and nr < nbuf."""
+    not divisible by nbuf and nr < nbuf; nbuf='1' pins the SERIALIZED
+    kernel (a round-4 hardware bug hid there: the quarter-bucket write-back
+    branch was missing and only the pipelined kernel was exercised)."""
     import os
     from arfe_tpu.ops.pallas_roi_align import roi_align_pallas_bwd
 
+    monkeypatch.setenv('ARFE_TPU_ROI_BWD_NBUF', nbuf)
     rng = np.random.RandomState(7)
     b, c = 2, 256
     feats = [jnp.asarray(rng.randn(b, 64 // (2 ** i) + 8, 96 // (2 ** i),
