@@ -123,7 +123,10 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
           + (ix == x1r[:, None]).astype(jnp.float32) * wx1[:, None])
 
     # y-interp: dynamic 2-row slice + VPU FMA per sample row (a one-hot
-    # matmul over all WH rows would run the MXU at <5% utilization)
+    # matmul over all WH rows would run the MXU at <5% utilization;
+    # folding the pair into the dot's K dim with y-scaled selection
+    # weights measured NEUTRAL — the kernel is per-grid-step
+    # overhead-bound at the real roi mix, not VPU- or DMA-bound)
     samples = []
     for iy in range(ns):
         y0s = y0_ref[r * ns + iy]
