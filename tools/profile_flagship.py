@@ -1,0 +1,121 @@
+"""Per-block latency profile of the flagship inference graph on TPU.
+
+Times cumulative prefixes of the flagship Faster R-CNN + AR-FPN + AR-RFF
+simple_test (backbone, +FPN, +WFPN, +RPN convs, +proposals, +RoI extract,
++head FCs, full) with the chained-async-dispatch method from bench.py (the
+axon tunnel makes host-side timing of single dispatches meaningless).
+Per-block cost is the difference between adjacent prefixes; the residual of
+"full - (+head FCs)" is the final per-image NMS.
+
+Usage: python tools/profile_flagship.py [batch] (default 8, 800x1344).
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _carry(x, out):
+    s = 0.
+    for leaf in jax.tree_util.tree_leaves(out):
+        s = s + (leaf.astype(jnp.float32).mean() * 1e-20)
+    return x + s.astype(x.dtype)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    h, w = 800, 1344
+    sys.path.insert(0, '.')
+    from __graft_entry__ import _build_flagship
+    from arfe_tpu.utils.compile_cache import enable
+    enable()
+    from arfe_tpu.models.utils.additional import get_adaptive_scale_rois
+
+    model = _build_flagship()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(batch, h, w, 3) * 0.2, jnp.bfloat16)
+    img_shapes = jnp.asarray([[float(h), 1333.0]] * batch)
+    scale_factors = jnp.ones((batch, 4), jnp.float32)
+
+    neck0, neck1 = model.neck.necks
+    rpn, roi = model.rpn_head, model.roi_head
+    ext = roi.bbox_roi_extractor
+
+    def backbone(p, x):
+        return model.backbone(p['backbone'], x)
+
+    def fpn(p, x):
+        return neck0(p['neck']['0'], backbone(p, x))
+
+    def wfpn(p, x):
+        return neck1(p['neck']['1'], fpn(p, x))
+
+    def rpnconv(p, x):
+        return [rpn.shared_single(p['rpn_head'], f) for f in wfpn(p, x)]
+
+    def proposals(p, x):
+        return rpn.get_proposals(p['rpn_head'], wfpn(p, x), img_shapes)
+
+    def _rois_of(props):
+        b, pr, _ = props.shape
+        binds = jnp.broadcast_to(
+            jnp.arange(b, dtype=props.dtype)[:, None], (b, pr))
+        return jnp.concatenate(
+            [binds[..., None], props[..., :4]], -1).reshape(b * pr, 5)
+
+    def extract(p, x):
+        feats = wfpn(p, x)
+        props, valid = rpn.get_proposals(p['rpn_head'], feats, img_shapes)
+        rois = _rois_of(props)
+        lvl = feats[:ext.num_inputs]
+        if roi.multi_rois:
+            lh, lw = get_adaptive_scale_rois(rois, roi.adaptive_scale_fac)
+            allr = jnp.concatenate([rois, lw, lh], axis=0)
+            return ext({}, lvl, allr)
+        return ext({}, lvl, rois)
+
+    def headfc(p, x):
+        feats = wfpn(p, x)
+        props, valid = rpn.get_proposals(p['rpn_head'], feats, img_shapes)
+        return roi._bbox_forward(p['roi_head'], feats, _rois_of(props),
+                                 num_imgs=batch)[:2]
+
+    def full(p, x):
+        return model.simple_test(p, x, img_shapes, scale_factors,
+                                 rescale=True)
+
+    stages = [('backbone', backbone), ('+fpn', fpn), ('+wfpn', wfpn),
+              ('+rpn_convs', rpnconv), ('+proposals', proposals),
+              ('+roi_extract', extract), ('+head_fcs', headfc),
+              ('full', full)]
+
+    prev = 0.0
+    print(f'flagship bs{batch} {h}x{w} per-block profile', flush=True)
+    for name, fn in stages:
+        @jax.jit
+        def step(p, x, fn=fn):
+            return _carry(x, fn(p, x))
+
+        r = step(params, img)
+        float(jnp.sum(r[0, 0, 0]))
+
+        def run(n):
+            r = img
+            t0 = time.time()
+            for _ in range(n):
+                r = step(params, r)
+            float(jnp.sum(r[0, 0, 0]))
+            return time.time() - t0
+
+        ts = {n: min(run(n) for _ in range(2)) for n in (2, 10)}
+        per = (ts[10] - ts[2]) / 8
+        print(f'{name:14s} cum {per * 1e3:7.2f} ms   '
+              f'block {(per - prev) * 1e3:7.2f} ms', flush=True)
+        prev = per
+
+
+if __name__ == '__main__':
+    main()
