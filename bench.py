@@ -28,15 +28,20 @@ BATCH = 8
 H, W = 800, 1344
 
 
-def probe_backend(timeout_s=150, retries=2, sleep_s=30):
+def probe_backend(timeout_s=None, retries=2, sleep_s=30):
     """Fail fast when the TPU tunnel is down instead of hanging into the
     driver's timeout (the round-3 failure mode). Each attempt is a short
     subprocess that initializes the backend and runs one tiny matmul; on a
     healthy tunnel this takes ~15-40 s (cold compile), so 150 s is generous.
     Exits non-zero quickly if every attempt fails, so the driver can retry
     the whole bench instead of burning its budget on a hang."""
+    import os
     import subprocess
     import sys
+    if timeout_s is None:
+        # a loaded host (e.g. the CPU test suite running concurrently)
+        # stretches probe latency well past the idle-host 15-40 s
+        timeout_s = float(os.environ.get('ARFE_BENCH_PROBE_TIMEOUT', 150))
     code = ('import jax, jax.numpy as jnp;'
             'x = jnp.ones((128, 128));'
             'print(float((x @ x).sum()))')

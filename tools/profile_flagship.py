@@ -8,6 +8,8 @@ Per-block cost is the difference between adjacent prefixes; the residual of
 "full - (+head FCs)" is the final per-image NMS.
 
 Usage: python tools/profile_flagship.py [batch] (default 8, 800x1344).
+``--wfpn`` swaps in a WFPN-internal sub-stage profile (gather / refine /
+attention / scatter) on top of the FPN prefix.
 """
 import sys
 import time
@@ -91,6 +93,31 @@ def main():
               ('+rpn_convs', rpnconv), ('+proposals', proposals),
               ('+roi_extract', extract), ('+head_fcs', headfc),
               ('full', full)]
+
+    if '--wfpn' in sys.argv:
+        from arfe_tpu.models.necks.wfpn import _gather_levels
+
+        def gather(p, x):
+            return _gather_levels(fpn(p, x), neck1.refine_level)
+
+        def refine(p, x):
+            return neck1.refine(p['neck']['1']['refine'], gather(p, x))
+
+        def att_only(p, x):
+            # the dual-attention maps alone (no refine/scatter): the
+            # stacked (C,18) contraction + 9 shifted adds per level
+            feats = fpn(p, x)
+            pn = p['neck']['1']
+            outs = []
+            for i, f in enumerate(feats):
+                pb = pn['reduce_convs'][str(i)]
+                pc = pn['reduce_convs2'][str(i)]
+                outs.append(jnp.tanh(neck1.reduce_convs[i](pb, f))
+                            + jnp.tanh(neck1.reduce_convs2[i](pc, f)))
+            return outs
+
+        stages = [('fpn', fpn), ('+gather', gather), ('+refine', refine),
+                  ('fpn+att_only', att_only), ('fpn+wfpn_full', wfpn)]
 
     prev = 0.0
     print(f'flagship bs{batch} {h}x{w} per-block profile', flush=True)
