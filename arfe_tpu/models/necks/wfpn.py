@@ -66,44 +66,49 @@ class WFPNDualSpatial(Module):
             'refine': self.refine.init(keys[-1]),
         }
 
+    def dual_attention(self, params, i, x):
+        """Per-level dual tanh attention map (the production path).
+
+        ref applies ConvModule (conv+ReLU) then tanh
+        (wfpn_dual_spatial.py:120-121). The two 1-channel convs read
+        the same level; when neither carries a norm layer, run them
+        as ONE conv (checkpoint params stay separate — weights are
+        stacked at trace time) in channel-contraction-first form: a
+        3x3 conv to 2 channels runs the TPU conv path at ~150 GB/s
+        (the 2-wide output starves the MXU), so contract channels
+        with a (C, 9*2) matmul first and realize the 3x3 window as
+        9 shifted adds of the thin 18-channel tensor — measured
+        2.0x (2.65 -> 1.30 ms, bs8 flagship pyramid).
+        """
+        pb = params['reduce_convs'][str(i)]
+        pc = params['reduce_convs2'][str(i)]
+        if set(pb) == {'conv'} and set(pc) == {'conv'}:
+            w = jnp.concatenate([pb['conv']['weight'],
+                                 pc['conv']['weight']], axis=-1)
+            b = jnp.concatenate([pb['conv']['bias'],
+                                 pc['conv']['bias']])
+            n, h, wd, c = x.shape
+            wflat = w.transpose(2, 0, 1, 3).reshape(c, 18)
+            u = jnp.dot(x.reshape(-1, c), wflat.astype(x.dtype))
+            u = u.reshape(n, h, wd, 9, 2)
+            up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = up[:, dy:dy + h, dx:dx + wd, dy * 3 + dx, :]
+                    acc = t if acc is None else acc + t
+            y = jnp.tanh(jax.nn.relu(acc + b.astype(acc.dtype)))
+            return y[..., 0:1] + y[..., 1:2]
+        return jnp.tanh(self.reduce_convs[i](pb, x)) \
+            + jnp.tanh(self.reduce_convs2[i](pc, x))
+
     def __call__(self, params, inputs):
         assert len(inputs) == self.num_levels
         ori_fe = _gather_levels(inputs, self.refine_level)
         bsf = self.refine(params['refine'], ori_fe)
         outs = []
         for i, x in enumerate(inputs):
-            # ref applies ConvModule (conv+ReLU) then tanh
-            # (wfpn_dual_spatial.py:120-121). The two 1-channel convs read
-            # the same level; when neither carries a norm layer, run them
-            # as ONE conv (checkpoint params stay separate — weights are
-            # stacked at trace time) in channel-contraction-first form: a
-            # 3x3 conv to 2 channels runs the TPU conv path at ~150 GB/s
-            # (the 2-wide output starves the MXU), so contract channels
-            # with a (C, 9*2) matmul first and realize the 3x3 window as
-            # 9 shifted adds of the thin 18-channel tensor — measured
-            # 2.0x (2.65 -> 1.30 ms, bs8 flagship pyramid).
-            pb = params['reduce_convs'][str(i)]
-            pc = params['reduce_convs2'][str(i)]
-            if set(pb) == {'conv'} and set(pc) == {'conv'}:
-                w = jnp.concatenate([pb['conv']['weight'],
-                                     pc['conv']['weight']], axis=-1)
-                b = jnp.concatenate([pb['conv']['bias'],
-                                     pc['conv']['bias']])
-                n, h, wd, c = x.shape
-                wflat = w.transpose(2, 0, 1, 3).reshape(c, 18)
-                u = jnp.dot(x.reshape(-1, c), wflat.astype(x.dtype))
-                u = u.reshape(n, h, wd, 9, 2)
-                up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-                acc = None
-                for dy in range(3):
-                    for dx in range(3):
-                        t = up[:, dy:dy + h, dx:dx + wd, dy * 3 + dx, :]
-                        acc = t if acc is None else acc + t
-                y = jnp.tanh(jax.nn.relu(acc + b.astype(acc.dtype)))
-                att = y[..., 0:1] + y[..., 1:2]
-            else:
-                att = jnp.tanh(self.reduce_convs[i](pb, x)) \
-                    + jnp.tanh(self.reduce_convs2[i](pc, x))
+            att = self.dual_attention(params, i, x)
             resized = resize_nearest(bsf, x.shape[1:3])
             outs.append(x + resized * att)
         return tuple(outs)

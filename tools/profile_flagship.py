@@ -27,7 +27,8 @@ def _carry(x, out):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pos = [a for a in sys.argv[1:] if not a.startswith('--')]
+    batch = int(pos[0]) if pos else 8
     h, w = 800, 1344
     sys.path.insert(0, '.')
     from __graft_entry__ import _build_flagship
@@ -104,22 +105,26 @@ def main():
             return neck1.refine(p['neck']['1']['refine'], gather(p, x))
 
         def att_only(p, x):
-            # the dual-attention maps alone (no refine/scatter): the
-            # stacked (C,18) contraction + 9 shifted adds per level
+            # the dual-attention maps alone (no refine/scatter), via the
+            # PRODUCTION WFPNDualSpatial.dual_attention path (stacked
+            # (C,18) contraction + 9 shifted adds for the flagship's
+            # norm-free convs)
             feats = fpn(p, x)
             pn = p['neck']['1']
-            outs = []
-            for i, f in enumerate(feats):
-                pb = pn['reduce_convs'][str(i)]
-                pc = pn['reduce_convs2'][str(i)]
-                outs.append(jnp.tanh(neck1.reduce_convs[i](pb, f))
-                            + jnp.tanh(neck1.reduce_convs2[i](pc, f)))
-            return outs
+            return [neck1.dual_attention(pn, i, f)
+                    for i, f in enumerate(feats)]
 
+        # rows that restart from the bare-fpn prefix rather than extending
+        # the previous row: their (per - prev) difference is meaningless,
+        # so the block column is suppressed for them
         stages = [('fpn', fpn), ('+gather', gather), ('+refine', refine),
                   ('fpn+att_only', att_only), ('fpn+wfpn_full', wfpn)]
+        noncumulative = {'fpn+att_only', 'fpn+wfpn_full'}
+    else:
+        noncumulative = set()
 
     prev = 0.0
+    stages_ms = {}
     print(f'flagship bs{batch} {h}x{w} per-block profile', flush=True)
     for name, fn in stages:
         @jax.jit
@@ -139,9 +144,15 @@ def main():
 
         ts = {n: min(run(n) for _ in range(2)) for n in (2, 10)}
         per = (ts[10] - ts[2]) / 8
-        print(f'{name:14s} cum {per * 1e3:7.2f} ms   '
-              f'block {(per - prev) * 1e3:7.2f} ms', flush=True)
-        prev = per
+        if name in noncumulative:
+            print(f'{name:14s} cum {per * 1e3:7.2f} ms   '
+                  f'(vs fpn {(per - stages_ms["fpn"]) * 1e3:+7.2f} ms)',
+                  flush=True)
+        else:
+            print(f'{name:14s} cum {per * 1e3:7.2f} ms   '
+                  f'block {(per - prev) * 1e3:7.2f} ms', flush=True)
+            prev = per
+        stages_ms[name] = per
 
 
 if __name__ == '__main__':
