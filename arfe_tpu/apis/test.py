@@ -37,8 +37,12 @@ def encode_mask_results(mask_results):
 
 
 def _model_num_classes(model):
-    return (model.bbox_head.num_classes if hasattr(model, 'bbox_head')
-            else model.roi_head.bbox_head.num_classes)
+    if hasattr(model, 'bbox_head'):
+        return model.bbox_head.num_classes
+    head = model.roi_head.bbox_head
+    if isinstance(head, (list, tuple)):   # cascade: per-stage heads
+        head = head[-1]
+    return head.num_classes
 
 
 def _make_aug_runner(model, _aug_cache, shard=None, out_shard=None,

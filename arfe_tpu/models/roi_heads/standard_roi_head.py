@@ -263,27 +263,7 @@ class StandardRoIHead(Module):
             # packed-table gather is roi-count agnostic, so stacking the
             # three roi sets compiles one kernel and splits after
             all_rois = jnp.concatenate([rois, lw_rois, lh_rois], axis=0)
-            import os
-            from ...ops.pallas_roi_align import (pallas_supported,
-                                                 roi_align_triple_auto)
-            # fused-triple kernel (one window DMA serves all three
-            # variants when they share an FPN level — 97.9% of flagship
-            # proposals): hardware-validated but NEUTRAL end-to-end
-            # (62.9 -> 62.8 ms bs8) — extraction is per-roi
-            # compute-bound at the real mix, not DMA-bound — so it ships
-            # opt-in until a mix where bytes dominate shows up
-            if (os.environ.get('ARFE_TPU_ROI_TRIPLE') == '1'
-                    and not extract_kw and pallas_supported(
-                        extractor.out_size, extractor.sample_num,
-                        extractor.num_inputs, extractor.out_channels)):
-                all_feats = roi_align_triple_auto(
-                    tuple(lvl_feats), all_rois, extractor.out_size,
-                    tuple(extractor.featmap_strides),
-                    extractor.finest_scale, extractor.sample_num,
-                    extractor.aligned)
-            else:
-                all_feats = extractor({}, lvl_feats, all_rois,
-                                      **extract_kw)
+            all_feats = extractor({}, lvl_feats, all_rois, **extract_kw)
             r = rois.shape[0]
             bbox_feats = jnp.concatenate(
                 [all_feats[:r], all_feats[r:2 * r], all_feats[2 * r:]],

@@ -120,13 +120,12 @@ def nms(boxes, scores, iou_threshold, max_out=None, valid_mask=None,
     svalid = jnp.isfinite(sscores)
     sboxes = sboxes * svalid[:, None].astype(sboxes.dtype)
 
-    from .pallas_nms import nms_keep_pallas, pallas_nms_supported
-    if pallas_nms_supported(n):
-        keep = nms_keep_pallas(sboxes, iou_threshold)
-    else:
-        t = min(tile_size, max(8, n))
-        pboxes = _pad_to_multiple(sboxes, t, axis=0)
-        keep = _nms_sorted_keep(pboxes, iou_threshold, t)[:n]
+    # A bit-exact Pallas greedy-NMS kernel existed through round 4 but was
+    # measured 9x SLOWER than this XLA tile fixpoint on v5e (NMS state is
+    # tiny; the fixpoint parallelizes) — removed, measurement in CLAUDE.md.
+    t = min(tile_size, max(8, n))
+    pboxes = _pad_to_multiple(sboxes, t, axis=0)
+    keep = _nms_sorted_keep(pboxes, iou_threshold, t)[:n]
     keep = keep & svalid
 
     kept_scores = jnp.where(keep, sscores, NEG_INF)

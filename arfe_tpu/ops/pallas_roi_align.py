@@ -409,388 +409,15 @@ def _raa_bwd(out_size, featmap_strides, finest_scale, sample_num, aligned,
 roi_align_auto.defvjp(_raa_fwd, _raa_bwd)
 
 
-# ---------------------------------------------------------------------------
-# fused-triple forward: the AR-RFF multi-RoI extraction
-# ---------------------------------------------------------------------------
-#
-# The AR-RFF path (ref: mmdet/models/roi_heads/standard_roi_head.py
-# multi-rois block + models/utils/additional.py:38-71) extracts THREE roi
-# sets per proposal: the original box, the width-stretched variant and the
-# height-stretched variant. By construction the stretched boxes share the
-# original's center, the W variant's box contains both others' sample
-# ranges, and (measured on flagship bs8 proposals) all three map to the
-# SAME FPN level 97.9% of the time. One window DMA can therefore feed all
-# three pooled outputs — ~2.5x fewer HBM bytes than three independent
-# windows. Containment is VERIFIED per roi at trace time (not assumed):
-# triples that split levels or overflow every bucket take a 3-DMA
-# full-window fallback identical to the single-roi kernel.
 
+# A fused-triple AR-RFF kernel (one window DMA serving all three roi
+# variants when they share an FPN level, 97.9% of flagship proposals)
+# lived here through round 4: hardware-validated bit-exact but NEUTRAL
+# end-to-end (62.9 -> 62.8 ms bs8 — extraction is per-roi compute-bound
+# at the real mix, not DMA-bound). Removed round 5; measurement kept in
+# CLAUDE.md. The batched single-roi kernel on the (3R,5) concat is the
+# shipping AR-RFF path.
 
-def _triple_prep(rois3, real_sizes, pad_sizes, featmap_strides,
-                 finest_scale, out_size, sn, aligned):
-    """Window/bilinear prep for the fused-triple kernel.
-
-    rois3: (3, R, 5) — variant-major [ori, W, H]. Returns
-    (fused (R,), lvl (3R,), b (R,), yo (3R,), xo (3R,), sm (R,),
-    y0_flat (3R*ns,), vec (R, 3, 8, VW)) where for fused rois the
-    window params of ALL variants hold the shared (variant-W-derived)
-    origin, and for non-fused rois per-variant FULL-window origins.
-    """
-    oh, ow = out_size
-    ns = oh * sn
-    num_levels = len(featmap_strides)
-    nv, r = rois3.shape[0], rois3.shape[1]
-    assert nv == 3
-
-    scales = jnp.asarray(
-        np.array([1.0 / s for s in featmap_strides], np.float32))
-    offset = 0.5 if aligned else 0.0
-    grid_pos = (np.arange(ns) // sn) + ((np.arange(ns) % sn) + 0.5) / sn
-    grid_pos = jnp.asarray(grid_pos, jnp.float32)
-
-    lvls, ys_l, xs_l, cc_y_l, cc_x_l = [], [], [], [], []
-    size_y_l, size_x_l, pad_y_l, pad_x_l = [], [], [], []
-    for v in range(nv):
-        rois = rois3[v]
-        tl = map_roi_levels(rois, num_levels, finest_scale)
-        lvls.append(tl)
-        lvl_h = jnp.asarray(real_sizes[:, 0])[tl].astype(jnp.float32)
-        lvl_w = jnp.asarray(real_sizes[:, 1])[tl].astype(jnp.float32)
-        pad_h = jnp.asarray(pad_sizes[:, 0])[tl].astype(jnp.float32)
-        pad_w = jnp.asarray(pad_sizes[:, 1])[tl].astype(jnp.float32)
-        sc = scales[tl]
-        x1 = rois[:, 1] * sc - offset
-        y1 = rois[:, 2] * sc - offset
-        x2 = rois[:, 3] * sc - offset
-        y2 = rois[:, 4] * sc - offset
-        rw_, rh_ = x2 - x1, y2 - y1
-        if not aligned:
-            rw_ = jnp.maximum(rw_, 1.0)
-            rh_ = jnp.maximum(rh_, 1.0)
-        ys = y1[:, None] + grid_pos[None, :] * (rh_ / oh)[:, None]
-        xs = x1[:, None] + grid_pos[None, :] * (rw_ / ow)[:, None]
-        ys_l.append(ys)
-        xs_l.append(xs)
-        cc_y_l.append(jnp.clip(ys, 0.0, lvl_h[:, None] - 1.0))
-        cc_x_l.append(jnp.clip(xs, 0.0, lvl_w[:, None] - 1.0))
-        size_y_l.append(lvl_h)
-        size_x_l.append(lvl_w)
-        pad_y_l.append(pad_h)
-        pad_x_l.append(pad_w)
-
-    def pick_org(cc_first, pad, wsize, align=1):
-        org = jnp.clip(jnp.floor(cc_first), 0,
-                       jnp.maximum(pad - wsize, 0.0))
-        if align > 1:
-            org = jnp.floor(org / align) * align
-        return org
-
-    same = (lvls[0] == lvls[1]) & (lvls[1] == lvls[2])
-
-    # fused window: origin from the W variant (index 1), smallest bucket
-    # that covers EVERY variant's clipped sample range (incl. the full
-    # window — if even that clips, the roi falls back to 3 DMAs)
-    sm_f = jnp.zeros((r,), jnp.int32)
-    yo_f = jnp.zeros((r,), jnp.float32)
-    xo_f = jnp.zeros((r,), jnp.float32)
-    fitted = jnp.zeros((r,), bool)
-    for code, bwh, bww in _BUCKETS:
-        oy = pick_org(cc_y_l[1][:, 0], pad_y_l[1], bwh)
-        ox = pick_org(cc_x_l[1][:, 0], pad_x_l[1], bww, align=8)
-        fit = jnp.ones((r,), bool)
-        for v in range(nv):
-            fit = fit & (cc_y_l[v].max(-1) - oy <= bwh - 2) \
-                & (cc_y_l[v].min(-1) - oy >= 0.0) \
-                & (cc_x_l[v].max(-1) - ox <= bww - 2) \
-                & (cc_x_l[v].min(-1) - ox >= 0.0)
-        take = fit & ~fitted
-        sm_f = jnp.where(take, code, sm_f)
-        yo_f = jnp.where(take, oy, yo_f)
-        xo_f = jnp.where(take, ox, xo_f)
-        fitted = fitted | fit
-    fused = same & fitted
-
-    # per-variant packed params: fused -> shared origin, else own full
-    # window origin (bucket-free: the fallback is the rare path)
-    lvl_rows, yo_rows, xo_rows, y0_rows, vec_rows = [], [], [], [], []
-    vw = _vec_width(ns)
-    for v in range(nv):
-        oy_full = pick_org(cc_y_l[v][:, 0], pad_y_l[v], WH)
-        ox_full = pick_org(cc_x_l[v][:, 0], pad_x_l[v], WW, align=8)
-        oy = jnp.where(fused, yo_f, oy_full)
-        ox = jnp.where(fused, xo_f, ox_full)
-        # rel params against the chosen origin; window size only caps the
-        # indices (fused windows were fit-checked, full windows clip like
-        # the single-roi kernel's outlier path)
-        ysz = jnp.where(fused,
-                        _bucket_dim(sm_f, axis=0).astype(jnp.float32),
-                        float(WH))
-        xsz = jnp.where(fused,
-                        _bucket_dim(sm_f, axis=1).astype(jnp.float32),
-                        float(WW))
-        y0r, y1r, wy0, wy1 = _rel_params_dyn(ys_l[v], size_y_l[v], oy,
-                                             ysz, pair_mode=True)
-        x0r, x1r, wx0, wx1 = _rel_params_dyn(xs_l[v], size_x_l[v], ox,
-                                             xsz, pair_mode=False)
-        lvl_rows.append(lvls[v].astype(jnp.int32))
-        yo_rows.append(oy.astype(jnp.int32))
-        xo_rows.append(ox.astype(jnp.int32))
-        y0_rows.append(y0r.astype(jnp.int32))
-        vec = jnp.stack([y0r, y1r, wy0, wy1, x0r, x1r, wx0, wx1], axis=1)
-        vec_rows.append(jnp.pad(vec, ((0, 0), (0, 0), (0, vw - ns))))
-
-    lvl_flat = jnp.concatenate(lvl_rows)
-    yo_flat = jnp.concatenate(yo_rows)
-    xo_flat = jnp.concatenate(xo_rows)
-    y0_flat = jnp.concatenate([y.reshape(-1) for y in y0_rows])
-    vec = jnp.stack(vec_rows, axis=1)            # (R, 3, 8, VW)
-    b_arr = rois3[0, :, 0].astype(jnp.int32)
-    return (fused.astype(jnp.int32), lvl_flat, b_arr, yo_flat, xo_flat,
-            sm_f, y0_flat, vec)
-
-
-def _bucket_dim(sm, axis):
-    """Window rows (axis 0) / cols (axis 1) for a bucket-code array."""
-    out = jnp.full(sm.shape, _BUCKETS[-1][1 + axis], jnp.int32)
-    for code, bh, bw in _BUCKETS:
-        out = jnp.where(sm == code, (bh, bw)[axis], out)
-    return out
-
-
-def _rel_params_dyn(coord, size, org, wsize, pair_mode=False):
-    """rel_params with a PER-ROI window size (fused bucket vs full)."""
-    valid = (coord > -1.0) & (coord < size[:, None])
-    cc = jnp.clip(coord, 0.0, size[:, None] - 1.0)
-    rel = jnp.clip(cc - org[:, None], 0.0, wsize[:, None] - 1.0)
-    i0 = jnp.floor(rel)
-    if pair_mode:
-        i0 = jnp.minimum(i0, wsize[:, None] - 2.0)
-        i1 = i0 + 1.0
-    else:
-        i1 = jnp.minimum(jnp.minimum(i0 + 1.0,
-                                     size[:, None] - org[:, None] - 1.0),
-                         wsize[:, None] - 1.0)
-        i1 = jnp.maximum(i1, i0)
-    w1 = rel - i0
-    w0 = (1.0 - w1) * valid
-    w1 = w1 * valid
-    return i0, i1, w0, w1
-
-
-def _kernel_triple(fused_ref, lvl_ref, b_ref, yo_ref, xo_ref, sm_ref,
-                   y0_ref, vec_ref, f0, f1, f2, f3, out_ref, win, sems, *,
-                   out_size, sample_num, c, double_buffer=True):
-    """Fused AR-RFF triple: grid step r serves base roi r's three
-    variants. Fused rois DMA ONE bucket window (slot lane 0) shared by
-    all variants; non-fused rois DMA three full windows (lanes 0-2)."""
-    num_levels = 4
-    r = pl.program_id(0)
-    nr = pl.num_programs(0)
-    feats = (f0, f1, f2, f3)
-
-    def start_dma(slot, row):
-        fu = fused_ref[row]
-        b = b_ref[row]
-
-        @pl.when(fu == 1)
-        def _():
-            lvl = lvl_ref[row]
-            yo = yo_ref[row]
-            xo = pl.multiple_of(xo_ref[row], 8)
-            sm = sm_ref[row]
-            for k in range(num_levels):
-                for code, bh, bw in _BUCKETS:
-                    @pl.when((lvl == k) & (sm == code))
-                    def _(k=k, bh=bh, bw=bw):
-                        pltpu.make_async_copy(
-                            feats[k].at[b, pl.ds(yo, bh), pl.ds(xo, bw), :],
-                            win.at[slot, 0, pl.ds(0, bh), pl.ds(0, bw)],
-                            sems.at[slot, 0]).start()
-
-        @pl.when(fu == 0)
-        def _():
-            for v in range(3):
-                lvl = lvl_ref[v * nr + row]
-                yo = yo_ref[v * nr + row]
-                xo = pl.multiple_of(xo_ref[v * nr + row], 8)
-                for k in range(num_levels):
-                    @pl.when(lvl == k)
-                    def _(k=k, v=v):
-                        pltpu.make_async_copy(
-                            feats[k].at[b, pl.ds(yo, WH), pl.ds(xo, WW), :],
-                            win.at[slot, v], sems.at[slot, v]).start()
-
-    @pl.when(r == 0)
-    def _():
-        win[...] = jnp.zeros_like(win)
-
-    if double_buffer:
-        @pl.when(r == 0)
-        def _():
-            start_dma(0, 0)
-
-        @pl.when(r + 1 < nr)
-        def _():
-            start_dma((r + 1) % 2, r + 1)
-        slot = r % 2
-    else:
-        start_dma(0, r)
-        slot = 0
-
-    fu = fused_ref[r]
-
-    @pl.when(fu == 1)
-    def _():
-        for code, bh, bw in _BUCKETS:
-            @pl.when(sm_ref[r] == code)
-            def _(bh=bh, bw=bw):
-                pltpu.make_async_copy(
-                    f0.at[0, pl.ds(0, bh), pl.ds(0, bw), :],
-                    win.at[slot, 0, pl.ds(0, bh), pl.ds(0, bw)],
-                    sems.at[slot, 0]).wait()
-
-    @pl.when(fu == 0)
-    def _():
-        for v in range(3):
-            pltpu.make_async_copy(
-                f0.at[0, pl.ds(0, WH), pl.ds(0, WW), :],
-                win.at[slot, v], sems.at[slot, v]).wait()
-
-    oh, ow = out_size
-    sn = sample_num
-    ns = oh * sn
-    ix = jax.lax.broadcasted_iota(jnp.int32, (ns, WW), 1).astype(jnp.float32)
-    for v in range(3):
-        vmat = vec_ref[0, v]             # (8, VW)
-        wy0, wy1 = vmat[2, :ns], vmat[3, :ns]
-        x0r, x1r = vmat[4, :ns], vmat[5, :ns]
-        wx0, wx1 = vmat[6, :ns], vmat[7, :ns]
-        sx = ((ix == x0r[:, None]).astype(jnp.float32) * wx0[:, None]
-              + (ix == x1r[:, None]).astype(jnp.float32) * wx1[:, None])
-        # window lane: fused -> shared lane 0, else this variant's lane
-        # (static slices + select; a dynamic lane index may not lower)
-        fsel = (fu == 1).astype(jnp.float32)
-        samples = []
-        for iy in range(ns):
-            y0s = y0_ref[(v * nr + r) * ns + iy]
-            if v == 0:
-                pair = win[slot, 0, pl.ds(y0s, 2)].astype(jnp.float32)
-            else:
-                p0 = win[slot, 0, pl.ds(y0s, 2)].astype(jnp.float32)
-                pv = win[slot, v, pl.ds(y0s, 2)].astype(jnp.float32)
-                pair = p0 * fsel + pv * (1.0 - fsel)
-            row = pair[0] * wy0[iy] + pair[1] * wy1[iy]
-            samples.append(jnp.dot(sx, row,
-                                   preferred_element_type=jnp.float32))
-        samples = jnp.stack(samples)
-        pooled = samples.reshape(oh, sn, ow, sn, c).mean(axis=(1, 3))
-        out_ref[v, 0] = pooled.astype(out_ref.dtype)
-
-
-def roi_align_pallas_triple(feats, all_rois, out_size=(7, 7),
-                            featmap_strides=(4, 8, 16, 32), finest_scale=56,
-                            sample_num=2, aligned=True):
-    """Fused AR-RFF extraction: all_rois is the (3R, 5) variant-major
-    concat [ori; W; H] the multi-rois head builds; returns (3R, oh, ow, C)
-    numerically matching :func:`roi_align_pallas` on the same concat
-    (identical math per variant; fused windows are containment-checked)."""
-    if isinstance(out_size, int):
-        out_size = (out_size, out_size)
-    sn = sample_num if sample_num > 0 else 2
-    oh, ow = out_size
-    ns = oh * sn
-    assert ns <= 32
-    num_levels = len(featmap_strides)
-    assert num_levels == 4
-    feats = list(feats[:num_levels])
-    b, _, _, c = feats[0].shape
-    real_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
-                          np.int32)
-    for i, f in enumerate(feats):
-        ph = max(0, WH - f.shape[1])
-        pw = max(0, WW - f.shape[2])
-        if ph or pw:
-            feats[i] = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    pad_sizes = np.array([(f.shape[1], f.shape[2]) for f in feats],
-                         np.int32)
-
-    r3 = all_rois.shape[0]
-    assert r3 % 3 == 0
-    r = r3 // 3
-    rois3 = all_rois.reshape(3, r, 5)
-
-    # 2 slots x 3 lanes of the full window; halve to one slot when the
-    # dtype would blow the ~16 MB VMEM budget
-    double_buffer = 2 * 3 * WH * WW * c * feats[0].dtype.itemsize \
-        <= 12 * 2 ** 20
-    nslots = 2 if double_buffer else 1
-    kernel = functools.partial(_kernel_triple, out_size=out_size,
-                               sample_num=sn, c=c,
-                               double_buffer=double_buffer)
-
-    def one_call(rois3_c):
-        cr = rois3_c.shape[1]
-        (fused, lvl_flat, b_arr, yo_flat, xo_flat, sm_f, y0_flat,
-         vec) = _triple_prep(rois3_c, real_sizes, pad_sizes,
-                             featmap_strides, finest_scale, out_size, sn,
-                             aligned)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
-            grid=(cr,),
-            in_specs=[
-                pl.BlockSpec((1, 3, 8, _vec_width(ns)),
-                             lambda i, *refs: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((3, 1, oh, ow, c),
-                                   lambda i, *refs: (0, i, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((nslots, 3, WH, WW, c), feats[0].dtype),
-                pltpu.SemaphoreType.DMA((nslots, 3)),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((3, cr, oh, ow, c),
-                                           jnp.float32),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(fused, lvl_flat, b_arr, yo_flat, xo_flat, sm_f, y0_flat, vec,
-          *feats)
-
-    # chunk base rois so the scalar-prefetch SMEM payload (3*ns i32 y0
-    # per base roi + 12 window ints) stays well inside the ~1 MB budget
-    chunk = _smem_chunk_rois(3 * ns, per_roi_extra=12)
-    outs = [one_call(rois3[:, s0:s0 + chunk])
-            for s0 in range(0, r, chunk)]
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    return out.reshape(r3, oh, ow, c).astype(feats[0].dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def roi_align_triple_auto(feats, all_rois, out_size, featmap_strides,
-                          finest_scale, sample_num, aligned):
-    """Fused-triple Pallas forward + the shared Pallas/jnp backward (the
-    cotangent path is roi-layout agnostic, so the single-roi backward on
-    the (3R,) concat is exact)."""
-    return roi_align_pallas_triple(list(feats), all_rois, out_size,
-                                   list(featmap_strides), finest_scale,
-                                   sample_num, aligned)
-
-
-def _rat_fwd(feats, all_rois, out_size, featmap_strides, finest_scale,
-             sample_num, aligned):
-    out = roi_align_triple_auto(feats, all_rois, out_size, featmap_strides,
-                                finest_scale, sample_num, aligned)
-    return out, (tuple(feats), all_rois)
-
-
-roi_align_triple_auto.defvjp(_rat_fwd, _raa_bwd)
 
 
 def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,

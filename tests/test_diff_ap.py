@@ -361,3 +361,361 @@ def test_full_pipeline_segm_ap_matches_torch_mirror(tmp_path):
                           ('segm_AP75', ts, 'AP75')):
         assert abs(jax_stats[jk] - stats[tk]) < 1e-3, \
             (jk, jax_stats[jk], stats[tk])
+
+
+# ---------------------------------------------------------------------------
+# Cascade R-CNN: composed-AP pin on the stage-ensemble scoring path
+# (ref: mmdet/models/roi_heads/cascade_roi_head.py:285-350)
+# ---------------------------------------------------------------------------
+
+
+def _make_cascade_mirror(seed=7):
+    from test_e2e_parity_vs_torch import TCascadeRCNN
+    torch.manual_seed(seed)
+    tm = TCascadeRCNN()
+    with torch.no_grad():
+        tm.rpn_head.rpn_cls.weight.mul_(8.0)
+        for h_ in tm.roi_head.bbox_head:
+            h_.fc_cls.weight.mul_(8.0)
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+    return tm
+
+
+def _build_jax_cascade_model():
+    from arfe_tpu.models.builder import build_detector
+    from test_e2e_parity_vs_torch import (CASCADE_STDS, MAX_PER_IMG,
+                                          RCNN_NMS_THR, RCNN_SCORE_THR,
+                                          RPN_NMS_POST, RPN_NMS_PRE,
+                                          RPN_NMS_THR)
+    stage_head = lambda stds: dict(
+        type='Shared2FCBBoxHead', in_channels=64, fc_out_channels=128,
+        roi_feat_size=7, num_classes=NUM_CLASSES, reg_class_agnostic=True,
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder', target_stds=list(stds)))
+    cfg = dict(
+        type='CascadeRCNN',
+        backbone=dict(type='ResNet', depth=18, out_indices=(0, 1, 2, 3)),
+        neck=[dict(type='FPN', in_channels=[64, 128, 256, 512],
+                   out_channels=64, num_outs=5)],
+        rpn_head=dict(
+            type='RPNHead', in_channels=64, feat_channels=64,
+            anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[4, 8, 16, 32, 64]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder'),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True)),
+        roi_head=dict(
+            type='CascadeRoIHead', num_stages=3,
+            stage_loss_weights=[1, 0.5, 0.25],
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+                out_channels=64, featmap_strides=[4, 8, 16, 32]),
+            bbox_head=[stage_head(s) for s in CASCADE_STDS]))
+    return build_detector(cfg, test_cfg=dict(
+        rpn=dict(nms_pre=RPN_NMS_PRE, nms_post=RPN_NMS_POST,
+                 max_num=RPN_NMS_POST, nms_thr=RPN_NMS_THR,
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=RCNN_SCORE_THR,
+                  nms=dict(type='nms', iou_thr=RCNN_NMS_THR),
+                  max_per_img=MAX_PER_IMG)))
+
+
+def test_full_pipeline_cascade_ap_matches_torch_mirror(tmp_path):
+    from test_e2e_parity_vs_torch import torch_cascade_inference
+
+    root = str(tmp_path)
+    img_dir, img_files, ori_sizes = _make_images(root, seed=17)
+    tm = _make_cascade_mirror()
+
+    torch_rescaled = []
+    for fname in img_files:
+        tensor, resized_shape, sf = _torch_preprocess(
+            os.path.join(img_dir, fname))
+        with torch.no_grad():
+            dets = torch_cascade_inference(tm, tensor, resized_shape)
+        torch_rescaled.append([(sc, lab, box / sf) for sc, lab, box in dets])
+
+    ann_file = _write_dataset(root, torch_rescaled, img_files, ori_sizes)
+
+    from arfe_tpu.apis.test import single_device_test
+
+    dataset, loader = _build_jax_dataset_loader(ann_file, img_dir)
+    model = _build_jax_cascade_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    results = single_device_test(model, params, loader, show_progress=False)
+    jax_stats = dataset.evaluate(results, metric='bbox')
+
+    from arfe_tpu.core.evaluation import COCOEvaluator
+    coco_gt = dataset.coco
+    dts = []
+    for iid, dets in enumerate(torch_rescaled):
+        for sc, lab, box in dets:
+            x1, y1, x2, y2 = [float(v) for v in box]
+            dts.append(dict(image_id=iid, category_id=int(lab) + 1,
+                            bbox=[x1, y1, x2 - x1, y2 - y1],
+                            score=float(sc)))
+    t_stats = COCOEvaluator(coco_gt).evaluate(coco_gt.loadRes(dts))['stats']
+
+    assert 0.05 < t_stats['AP'] < 0.999, t_stats['AP']
+    for jk, tk in (('bbox_mAP', 'AP'), ('bbox_AP50', 'AP50'),
+                   ('bbox_AP75', 'AP75'), ('bbox_APs', 'APs'),
+                   ('bbox_APm', 'APm'), ('bbox_APl', 'APl')):
+        assert abs(jax_stats[jk] - t_stats[tk]) < 1e-3, \
+            (jk, jax_stats[jk], t_stats[tk])
+
+
+# ---------------------------------------------------------------------------
+# TTA (MultiScaleFlipAug flip=True): composed-AP pin on the merge path
+# (ref: mmdet/core/post_processing/merge_augs.py:8-107)
+# ---------------------------------------------------------------------------
+
+
+def _torch_preprocess_tta(path):
+    """Two augs (no-flip, horizontal flip) mirroring the reference pipeline
+    order Resize -> RandomFlip -> Normalize -> Pad."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    h, w = img.shape[:2]
+    new_w, new_h, _ = _rescale_keep_ratio(w, h, IMG_SCALE)
+    resized = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+    scale_factor = np.array([new_w / w, new_h / h, new_w / w, new_h / h],
+                            np.float32)
+    pad_h = (new_h + 31) // 32 * 32
+    pad_w = (new_w + 31) // 32 * 32
+    augs = []
+    for flip in (False, True):
+        arr = resized[:, ::-1] if flip else resized
+        norm = (arr[..., ::-1].astype(np.float32) - MEAN) / STD
+        padded = np.zeros((pad_h, pad_w, 3), np.float32)
+        padded[:new_h, :new_w] = norm
+        augs.append((torch.from_numpy(
+            np.ascontiguousarray(padded.transpose(2, 0, 1))[None]), flip))
+    return augs, (new_h, new_w), scale_factor
+
+
+def _np_flip_boxes(boxes, w):
+    """mmdet v2 horizontal flip (w - x, not w - x - 1) on (..., 4k)."""
+    out = boxes.copy()
+    out[..., 0::4] = w - boxes[..., 2::4]
+    out[..., 2::4] = w - boxes[..., 0::4]
+    return out
+
+
+def _t_proposals(tm, tensor, img_shape):
+    """RPN proposal path of torch_inference, returning feats too."""
+    from test_e2e_parity_vs_torch import (RPN_NMS_POST, RPN_NMS_PRE,
+                                          RPN_NMS_THR, np_anchors,
+                                          np_delta2bbox, np_nms)
+    STRIDES = (4, 8, 16, 32, 64)
+    with torch.no_grad():
+        feats = tm.neck(tm.backbone(tensor))
+        rpn_outs = tm.rpn_head(feats)
+    all_props, all_scores, all_lvls = [], [], []
+    for lvl, (cls, reg) in enumerate(rpn_outs):
+        h, w = cls.shape[2:]
+        anchors = np_anchors(h, w, STRIDES[lvl])
+        scores = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(-1).numpy()
+        deltas = reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+        if len(scores) > RPN_NMS_PRE:
+            top = np.argsort(-scores, kind='stable')[:RPN_NMS_PRE]
+            scores, deltas, anchors = scores[top], deltas[top], anchors[top]
+        boxes = np_delta2bbox(anchors, deltas, [1, 1, 1, 1], img_shape)
+        all_props.append(boxes)
+        all_scores.append(scores)
+        all_lvls.append(np.full(len(scores), lvl))
+    boxes = np.concatenate(all_props)
+    scores = np.concatenate(all_scores)
+    lvls = np.concatenate(all_lvls)
+    off = lvls * (boxes.max() + 1)
+    keep = np_nms(boxes + off[:, None], scores, RPN_NMS_THR)[:RPN_NMS_POST]
+    return feats, boxes[keep], scores[keep]
+
+
+def torch_tta_inference(tm, augs, img_shape, sf):
+    """Independent TTA merge mirroring ref merge_aug_proposals /
+    merge_aug_bboxes + final multiclass NMS (merge_augs.py:8-77)."""
+    from test_e2e_parity_vs_torch import (MAX_PER_IMG, RCNN_NMS_THR,
+                                          RCNN_SCORE_THR, RPN_NMS_POST,
+                                          RPN_NMS_THR, _t_roi_feats,
+                                          np_delta2bbox, np_nms)
+    rh, rw = img_shape
+    per_aug = []
+    ori_p, ori_s = [], []
+    for tensor, flip in augs:
+        feats, props, scores = _t_proposals(tm, tensor, img_shape)
+        per_aug.append((feats, flip))
+        p = _np_flip_boxes(props, rw) if flip else props
+        ori_p.append(p / sf)
+        ori_s.append(scores)
+    # merge_aug_proposals: concat in original frame, plain NMS, cap max_num
+    boxes = np.concatenate(ori_p)
+    scores = np.concatenate(ori_s)
+    keep = np_nms(boxes, scores, RPN_NMS_THR)[:RPN_NMS_POST]
+    merged = boxes[keep]                      # original frame
+
+    # merge_aug_bboxes: score merged props per aug, decode, map back, mean
+    aug_boxes, aug_scores = [], []
+    for feats, flip in per_aug:
+        pa = merged * sf
+        if flip:
+            pa = _np_flip_boxes(pa, rw)
+        rf = _t_roi_feats(feats, pa)
+        with torch.no_grad():
+            cls_logits, reg = tm.roi_head.bbox_head(rf)
+        probs = torch.softmax(cls_logits, -1).numpy()
+        reg = reg.numpy()
+        boxes_c = np.stack(
+            [np_delta2bbox(pa, reg[:, c * 4:(c + 1) * 4],
+                           [0.1, 0.1, 0.2, 0.2], img_shape)
+             for c in range(NUM_CLASSES)], axis=1)       # (P, C, 4)
+        if flip:
+            boxes_c = _np_flip_boxes(boxes_c, rw)
+        aug_boxes.append(boxes_c / sf[None, None, :])
+        aug_scores.append(probs)
+    boxes_c = np.mean(np.stack(aug_boxes), axis=0)
+    probs = np.mean(np.stack(aug_scores), axis=0)
+
+    dets = []
+    for c in range(NUM_CLASSES):
+        sc = probs[:, c]
+        m = sc > RCNN_SCORE_THR
+        if not m.any():
+            continue
+        keep = np_nms(boxes_c[m, c], sc[m], RCNN_NMS_THR)
+        for k in keep:
+            dets.append((sc[m][k], c, boxes_c[m, c][k]))
+    dets.sort(key=lambda d: -d[0])
+    return dets[:MAX_PER_IMG]
+
+
+def test_full_pipeline_tta_ap_matches_torch_mirror(tmp_path):
+    root = str(tmp_path)
+    img_dir, img_files, ori_sizes = _make_images(root, seed=19)
+    tm = _make_mirror()
+
+    torch_dets = []
+    for fname in img_files:
+        augs, resized_shape, sf = _torch_preprocess_tta(
+            os.path.join(img_dir, fname))
+        torch_dets.append(
+            torch_tta_inference(tm, augs, resized_shape, sf))
+
+    ann_file = _write_dataset(root, torch_dets, img_files, ori_sizes)
+
+    from arfe_tpu.apis.test import single_device_test
+    from arfe_tpu.data import build_dataloader, build_dataset
+
+    img_norm_cfg = dict(mean=list(MEAN), std=list(STD), to_rgb=True)
+    tta_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=IMG_SCALE, flip=True,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm_cfg),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    dataset = build_dataset(dict(
+        type='CocoDataset', ann_file=ann_file, img_prefix=img_dir,
+        pipeline=tta_pipeline,
+        classes=tuple(f'c{c}' for c in range(NUM_CLASSES))))
+    loader = build_dataloader(dataset, samples_per_gpu=1, workers_per_gpu=0,
+                              shuffle=False, static_shapes=None)
+    model = build_jax_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+    results = single_device_test(model, params, loader, show_progress=False)
+    jax_stats = dataset.evaluate(results, metric='bbox')
+
+    from arfe_tpu.core.evaluation import COCOEvaluator
+    coco_gt = dataset.coco
+    dts = []
+    for iid, dets in enumerate(torch_dets):
+        for sc, lab, box in dets:
+            x1, y1, x2, y2 = [float(v) for v in box]
+            dts.append(dict(image_id=iid, category_id=int(lab) + 1,
+                            bbox=[x1, y1, x2 - x1, y2 - y1],
+                            score=float(sc)))
+    t_stats = COCOEvaluator(coco_gt).evaluate(coco_gt.loadRes(dts))['stats']
+
+    assert 0.05 < t_stats['AP'] < 0.999, t_stats['AP']
+    for jk, tk in (('bbox_mAP', 'AP'), ('bbox_AP50', 'AP50'),
+                   ('bbox_AP75', 'AP75'), ('bbox_APs', 'APs'),
+                   ('bbox_APm', 'APm'), ('bbox_APl', 'APl')):
+        assert abs(jax_stats[jk] - t_stats[tk]) < 1e-3, \
+            (jk, jax_stats[jk], t_stats[tk])
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip --device-eval: identical AP on the same synthetic set
+# (the BASELINE.json psum'd-accumulator north star, composed through the
+#  full dataset/loader stack rather than fake batches)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_chip_device_eval_ap_identical(tmp_path):
+    root = str(tmp_path)
+    img_dir, img_files, ori_sizes = _make_images(root, seed=23)
+    tm = _make_mirror()
+
+    torch_rescaled = []
+    for fname in img_files:
+        tensor, resized_shape, sf = _torch_preprocess(
+            os.path.join(img_dir, fname))
+        with torch.no_grad():
+            from test_e2e_parity_vs_torch import torch_inference as t_inf
+            dets = t_inf(tm, tensor, resized_shape)
+        torch_rescaled.append([(sc, lab, box / sf) for sc, lab, box in dets])
+    ann_file = _write_dataset(root, torch_rescaled, img_files, ori_sizes)
+
+    from arfe_tpu.apis.test import (multi_device_coco_eval,
+                                    multi_device_test, single_device_test)
+    from arfe_tpu.data import build_dataloader, build_dataset
+    from arfe_tpu.parallel import make_mesh
+
+    img_norm_cfg = dict(mean=list(MEAN), std=list(STD), to_rgb=True)
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=IMG_SCALE, flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='RandomFlip'),
+                 dict(type='Normalize', **img_norm_cfg),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])]
+    dataset = build_dataset(dict(
+        type='CocoDataset', ann_file=ann_file, img_prefix=img_dir,
+        pipeline=test_pipeline,
+        classes=tuple(f'c{c}' for c in range(NUM_CLASSES))))
+    # bs2 so the data axis genuinely shards (2 imgs over 2 devices)
+    loader = build_dataloader(dataset, samples_per_gpu=2, workers_per_gpu=0,
+                              shuffle=False, static_shapes=None)
+    model = build_jax_model()
+    params = params_to_jax(state_dict_to_params(tm.state_dict()))
+
+    single = single_device_test(model, params, loader, show_progress=False)
+    host_stats = dataset.evaluate(single, metric='bbox')
+    assert 0.05 < host_stats['bbox_mAP'] < 0.999
+
+    mesh = make_mesh(n_data=2)
+    multi = multi_device_test(model, params, loader, mesh,
+                              show_progress=False)
+    multi_stats = dataset.evaluate(multi, metric='bbox')
+
+    dev_stats = multi_device_coco_eval(model, params, loader, dataset, mesh,
+                                       show_progress=False)
+    for k in ('bbox_mAP', 'bbox_AP50', 'bbox_AP75', 'bbox_APs',
+              'bbox_APm', 'bbox_APl'):
+        assert abs(multi_stats[k] - host_stats[k]) < 1e-6, \
+            (k, multi_stats[k], host_stats[k])
+        assert abs(dev_stats[k] - host_stats[k]) < 1e-6, \
+            (k, dev_stats[k], host_stats[k])

@@ -133,41 +133,3 @@ def test_pallas_bwd_pipelined_overlap_stress_interpret(nbuf, monkeypatch):
                                        atol=1e-3,
                                        err_msg=f'r={r} level {lvl}')
 
-
-def test_pallas_triple_matches_single_interpret():
-    """Fused AR-RFF triple extraction must match the single-roi kernel on
-    the same (3R,) concat: fused rois (same level, containment-checked
-    window) and fallback rois (level-splitting triples) both covered."""
-    from arfe_tpu.models.utils.additional import get_adaptive_scale_rois
-    from arfe_tpu.ops.pallas_roi_align import (roi_align_pallas,
-                                               roi_align_pallas_triple)
-
-    rng = np.random.RandomState(11)
-    b, c = 2, 256
-    feats = [jnp.asarray(rng.randn(b, 100 // (2 ** i) + 1, 168 // (2 ** i),
-                                   c).astype(np.float32)) for i in range(4)]
-    strides = [4, 8, 16, 32]
-    r = 16
-    xy = rng.uniform(0, 250, (r, 2))
-    # sizes straddling level boundaries so some triples split levels
-    area = np.exp(rng.uniform(np.log(24 ** 2), np.log(320 ** 2), (r,)))
-    aspect = np.exp(rng.uniform(np.log(0.5), np.log(2.0), (r,)))
-    w = np.sqrt(area * aspect)
-    h = np.sqrt(area / aspect)
-    rois = np.concatenate([rng.randint(0, b, (r, 1)).astype(np.float32),
-                           xy, xy + np.stack([w, h], -1)],
-                          axis=1).astype(np.float32)
-    rois_j = jnp.asarray(rois)
-    lh, lw = get_adaptive_scale_rois(rois_j, 0.5)
-    all_rois = jnp.concatenate([rois_j, lw, lh], axis=0)
-
-    with pltpu.force_tpu_interpret_mode():
-        want = np.asarray(roi_align_pallas(feats, all_rois, (7, 7), strides,
-                                           56, 2, True))
-        got = np.asarray(roi_align_pallas_triple(
-            feats, all_rois, (7, 7), strides, 56, 2, True))
-    np.testing.assert_allclose(got, want, atol=1e-4)
-
-    ref = np.asarray(roi_align_pyramid(feats, all_rois, (7, 7), strides,
-                                       56, 2, True))
-    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -69,6 +69,10 @@ def main():
     model_cfg = dict(cfg.todict()['model'])
     model_cfg.pop('pretrained', None)
     model_cfg['backbone']['stem_space_to_depth'] = True
+    model_cfg['bbox_head']['stacked_convs'] = args.towers
+    ag = model_cfg['bbox_head'].get('anchor_generator')
+    if ag and args.levels < len(ag.get('strides', [])):
+        ag['strides'] = list(ag['strides'])[:args.levels]
     model = build_detector(model_cfg, test_cfg=cfg.todict()['test_cfg'])
     head = model.bbox_head
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
@@ -112,7 +116,11 @@ def main():
         """get_bboxes_feats replica with early exit after --tail stage."""
         ph = p['bbox_head']
         featmap_sizes = [(f.shape[1], f.shape[2]) for f in feats]
-        mlvl_anchors = head.anchor_generator.grid_anchors(featmap_sizes)
+        # pad to the generator's level count, slice after (--levels < 5)
+        full_sizes = featmap_sizes + [(1, 1)] * (
+            head.anchor_generator.num_levels - len(featmap_sizes))
+        mlvl_anchors = head.anchor_generator.grid_anchors(
+            full_sizes)[:len(featmap_sizes)]
         outs = []
         probs_l, preds_l, anchors_l = [], [], []
         for lvl, (x, anchors) in enumerate(zip(feats, mlvl_anchors)):
