@@ -40,11 +40,20 @@ TWH, TWW = 24, 32
 # fourth (quarter) bucket: measured on flagship bs8 proposals, 70% of the
 # AR-RFF triple fits (16, 24) (extent <= 14 rows); 2x fewer bytes again.
 QWH, QWW = 16, 24
+# fifth (wide) bucket: any roi scale-CLAMPED to the top level (stride 32)
+# has in-level extent <= (800/32, 1344/32) = (25, 42) -> (26, 49+slop)
+# after the bilinear pair and 8-aligned x-origin, which the ladder's jump
+# from (32, 40) to (48, 64) missed entirely. The round-5 TRAIN roi mix
+# (512 sampled/img x 3 AR-RFF variants, random-init proposals) put 60.5%
+# of rois in the full bucket for exactly this reason; (32, 56) moves
+# 1.7x fewer bytes for all of them.
+VWH, VWW = 32, 56
 
 
 # bucket table shared by the fwd/bwd kernels and the window prep:
-# (sm code, window rows, window cols), smallest first
-_BUCKETS = ((3, QWH, QWW), (2, TWH, TWW), (1, SWH, SWW), (0, WH, WW))
+# (sm code, window rows, window cols), smallest first; 0 = full window
+_BUCKETS = ((3, QWH, QWW), (2, TWH, TWW), (1, SWH, SWW), (4, VWH, VWW),
+            (0, WH, WW))
 
 
 # scalar-vector block lane width for ns samples per axis: 16 covers the
@@ -180,7 +189,12 @@ def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
     def axis_params(coord, size, pad_size, wsize, align=1, pair_mode=False):
         valid = (coord > -1.0) & (coord < size[:, None])
         cc = jnp.clip(coord, 0.0, size[:, None] - 1.0)
-        org = jnp.clip(jnp.floor(cc[:, 0]), 0,
+        # origin from the MIN sample (== the first sample for well-formed
+        # boxes; INVERTED boxes — x2<x1 / y2<y1 garbage proposals an
+        # untrained RPN emits and the reference feeds to RoIAlign as-is —
+        # sample descending, and an origin from the first sample would
+        # clip everything below it)
+        org = jnp.clip(jnp.floor(cc.min(axis=-1)), 0,
                        jnp.maximum(pad_size - wsize, 0.0))
         if align > 1:  # DMA tiling alignment (keeps org <= its old value)
             org = jnp.floor(org / align) * align
@@ -215,8 +229,18 @@ def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
         xp = axis_params(xs, lvl_w, pad_w, bww, align=8)
         cand = yp + xp
         if code != 0:
-            fits = ((cc_y.max(-1) - yp[0]) <= bwh - 2) & \
-                ((cc_x.max(-1) - xp[0]) <= bww - 2)
+            # exact while every clamped sample stays INSIDE the window
+            # (rel <= wsize-1): at rel = wsize-1 the y pair-clamp lands
+            # (i0=wsize-2, w1=1 -> reads row org+wsize-1 exactly) and the
+            # x path gets (i0=i1=wsize-1, w1=0). The earlier `<= w-2`
+            # check was off by one: a roi clamped against the image
+            # bottom/right edge sits at exactly rel = wsize-1 from its
+            # edge-clamped origin, so EVERY degenerate border proposal
+            # (y1=y2=H, common from an untrained RPN) cascaded through
+            # all buckets into the full (48,64) window — 60% of the
+            # round-5 train roi mix.
+            fits = ((cc_y.max(-1) - yp[0]) <= bwh - 1) & \
+                ((cc_x.max(-1) - xp[0]) <= bww - 1)
             take = fits if picked is None else (fits & ~fitted)
             if picked is None:
                 picked, fitted = cand, fits

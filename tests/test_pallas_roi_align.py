@@ -57,6 +57,14 @@ def test_pallas_bwd_adaptive_matches_autodiff_interpret():
         [1, 80, 180, 130, 350],      # 50x170 -> lvl 0, h extent 42 (large)
         [0, 40, 40, 600, 580],       # scale ~550 -> lvl 3, extent 17
         [1, 300, 200, 420, 330],     # scale ~125 -> lvl 1, extent ~15
+        [0, 40, 100, 424, 196],      # 384x96 -> lvl 1, (12, 48): WIDE bucket
+        [1, 60, 24, 156, 408],       # 96x384 -> lvl 1, (48, 12): full (tall)
+        # degenerate border boxes (zero-height at the image bottom, zero-
+        # width at the right edge): window origin clamps against the map
+        # edge putting samples at exactly rel = wsize-1 — the off-by-one
+        # that used to dump every such roi into the full bucket
+        [0, 518.8, 512.0, 532.3, 512.0],
+        [1, 768.0, 300.0, 768.0, 348.0],
     ], np.float32)
     rois_j = jnp.asarray(rois)
     g = jnp.asarray(rng.randn(len(rois), 7, 7, c).astype(np.float32))
@@ -112,9 +120,10 @@ def test_pallas_bwd_pipelined_overlap_stress_interpret(nbuf, monkeypatch):
     feats = [jnp.asarray(rng.randn(b, 64 // (2 ** i) + 8, 96 // (2 ** i),
                                    c).astype(np.float32)) for i in range(4)]
     strides = [4, 8, 16, 32]
-    for r in (2, 7):
+    bases = [np.array([40.0, 50.0, 120.0, 140.0]),     # square, small bucket
+             np.array([30.0, 60.0, 414.0, 156.0])]     # 384x96: WIDE bucket
+    for r, base in [(2, bases[0]), (7, bases[0]), (7, bases[1])]:
         # jittered clones of one box: every window overlaps every other
-        base = np.array([40.0, 50.0, 120.0, 140.0])
         rois = np.concatenate([
             rng.randint(0, b, (r, 1)).astype(np.float32),
             base[None] + rng.uniform(-6, 6, (r, 4)).astype(np.float32),

@@ -29,8 +29,11 @@ LEAVES = sorted(
     if '_base_' not in p)
 
 # reference-faithful research leftovers that do not run (documented in the
-# config header): FSAFHead mounted as a RoI bbox head
-KNOWN_NONRUNNABLE = ('faster_fsaf_r50_1x_coco.py', 'faster_fsaf_r50_coco.py')
+# config header): FSAFHead mounted as a RoI bbox head — three configs in the
+# reference share the hybrid (faster_rcnn_r50_fsaf inlines it,
+# ref configs/mytrain/faster_rcnn_r50_fsaf_1x_coco.py:44-53)
+KNOWN_NONRUNNABLE = ('faster_fsaf_r50_1x_coco.py', 'faster_fsaf_r50_coco.py',
+                     'faster_rcnn_r50_fsaf_1x_coco.py')
 
 RUNNABLE = [p for p in LEAVES
             if os.path.basename(p) not in KNOWN_NONRUNNABLE]

@@ -100,6 +100,13 @@ def main():
     def feat(p, x):
         return model.extract_feat(p, x)
 
+    def fwd_backbone(p, x):
+        return model.backbone(p['backbone'], x)
+
+    def fwd_fpn(p, x):
+        return model.neck.necks[0](p['neck']['0'],
+                                   model.backbone(p['backbone'], x))
+
     has_cm_rpn = hasattr(rpn, 'get_proposals')
 
     def rpn_shared(p, x):
@@ -165,6 +172,38 @@ def main():
         return loss_fn(p, x)[0]
 
     # ---- value_and_grad prefixes ------------------------------------
+    def vg_backbone(p, x):
+        def probe(pp):
+            fx = model.backbone(pp['backbone'], x)
+            return sum(f.astype(jnp.float32).mean() for f in fx)
+        return jax.value_and_grad(probe)(p)
+
+    def vg_fpn(p, x):
+        def probe(pp):
+            fx = model.neck.necks[0](pp['neck']['0'],
+                                     model.backbone(pp['backbone'], x))
+            return sum(f.astype(jnp.float32).mean() for f in fx)
+        return jax.value_and_grad(probe)(p)
+
+    # FPN-internal bwd split (laterals / +topdown / full adds the 3x3
+    # convs + extra levels)
+    def vg_lat(p, x):
+        def probe(pp):
+            neck0 = model.neck.necks[0]
+            fx = neck0._laterals(pp['neck']['0'],
+                                 model.backbone(pp['backbone'], x))
+            return sum(f.astype(jnp.float32).mean() for f in fx)
+        return jax.value_and_grad(probe)(p)
+
+    def vg_td(p, x):
+        def probe(pp):
+            neck0 = model.neck.necks[0]
+            inputs = model.backbone(pp['backbone'], x)
+            lat = neck0._laterals(pp['neck']['0'], inputs)
+            lat = neck0._topdown(pp['neck']['0'], lat, inputs)
+            return sum(f.astype(jnp.float32).mean() for f in lat)
+        return jax.value_and_grad(probe)(p)
+
     def vg_feat(p, x):
         def probe(pp):
             fx = feat(pp, x)
@@ -190,12 +229,18 @@ def main():
         return jax.value_and_grad(
             lambda pp: loss_fn(pp, x)[0], has_aux=False)(p)
 
-    stages = [('fwd_feat', feat), ('+rpn_convs', rpn_shared),
+    stages = [('fwd_backbone', fwd_backbone), ('fwd_fpn', fwd_fpn),
+              ('fwd_feat', feat), ('+rpn_convs', rpn_shared),
               ('+rpn_loss', rpn_loss), ('+proposals', proposals),
               ('+sample', sample), ('+roi_extract', roi_extract),
               ('full_fwd', full_fwd),
+              ('vg_backbone', vg_backbone), ('vg_lat', vg_lat),
+              ('vg_td', vg_td), ('vg_fpn', vg_fpn),
               ('vg_feat', vg_feat), ('vg_roifeat', vg_roifeat),
               ('vg_rpn', vg_rpn), ('vg_full', vg_full)]
+    if os.environ.get('ARFE_PROFILE_STAGES'):
+        want = set(os.environ['ARFE_PROFILE_STAGES'].split(','))
+        stages = [(n, f) for n, f in stages if n in want]
 
     cum = {}
     prev = 0.0
@@ -224,6 +269,9 @@ def main():
         print(f'{name:14s} cum {per * 1e3:7.2f} ms   '
               f'block {(per - prev) * 1e3:7.2f} ms', flush=True)
         prev = per
+
+    if os.environ.get('ARFE_PROFILE_STAGES'):
+        return   # partial run: skip the full step + derived rows
 
     # ---- full optimizer step (donated buffers -> separate loop) -----
     mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
