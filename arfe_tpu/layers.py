@@ -287,6 +287,11 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
     ph, pw = _pair(padding)
+    if kh == kw == 1 and ph == pw == 0:
+        # kernel-1 "pool" (FPN P6 = max_pool2d(P5, 1, stride=2)) is a
+        # strided subsample; the slice transposes to a cheap pad instead
+        # of reduce_window's SelectAndScatter backward
+        return x[:, ::sh, ::sw, :]
     return jax.lax.reduce_window(
         x, -jnp.inf if x.dtype in (jnp.float32, jnp.bfloat16)
         else jnp.finfo(x.dtype).min,
