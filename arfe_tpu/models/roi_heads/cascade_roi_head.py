@@ -146,8 +146,15 @@ class CascadeRoIHead(Module):
             if self.with_mask and gt_mask_crops is not None:
                 from ...core.mask.mask_target import mask_target_from_crops
                 extractor = self.mask_roi_extractor[stage]
+                # positives-only mask branch: the sampler packs positives
+                # into the leading slots (see StandardRoIHead)
+                smp = self.samplers[stage]
+                cap = s
+                if hasattr(smp, 'num') and hasattr(smp, 'pos_fraction'):
+                    cap = min(s, int(smp.num * smp.pos_fraction))
+                rois_m = rois.reshape(b, s, 5)[:, :cap].reshape(b * cap, 5)
                 mask_feats = extractor({}, feats[:extractor.num_inputs],
-                                       rois)
+                                       rois_m)
                 mask_pred = self.mask_head[stage](
                     params['mask_head'][str(stage)], mask_feats)
                 m = mask_pred.shape[1]
@@ -157,13 +164,15 @@ class CascadeRoIHead(Module):
                                                   gt_bx, bx,
                                                   mask_size=m)
 
-                targets = jax.vmap(mtgt)(gt_mask_crops, sampled['gt_inds'],
-                                         sampled['gt_boxes'],
-                                         sampled['boxes'])
-                pos = (sampled['is_pos'] & sampled['valid']).reshape(b * s)
+                targets = jax.vmap(mtgt)(gt_mask_crops,
+                                         sampled['gt_inds'][:, :cap],
+                                         sampled['gt_boxes'][:, :cap],
+                                         sampled['boxes'][:, :cap])
+                pos = (sampled['is_pos'][:, :cap]
+                       & sampled['valid'][:, :cap]).reshape(b * cap)
                 ml = self.mask_head[stage].loss(
-                    mask_pred, targets.reshape(b * s, m, m),
-                    sampled['labels'].reshape(b * s), pos)
+                    mask_pred, targets.reshape(b * cap, m, m),
+                    sampled['labels'][:, :cap].reshape(b * cap), pos)
                 losses[f's{stage}.loss_mask'] = ml['loss_mask'] * w
             # refine proposals for the next stage (gradients stopped,
             # gt-injected rows dropped — ref refine_bboxes semantics)

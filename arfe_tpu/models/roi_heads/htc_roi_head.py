@@ -174,6 +174,14 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
 
             if self.with_mask and gt_mask_crops is not None:
                 ms = mask_sampled['boxes'].shape[1]
+                smp = self.samplers[stage]
+                if hasattr(smp, 'num') and hasattr(smp, 'pos_fraction'):
+                    # positives-only mask branch (see StandardRoIHead)
+                    cap = min(ms, int(smp.num * smp.pos_fraction))
+                    mask_sampled = {
+                        k: (v[:, :cap] if v.ndim >= 2 and v.shape[1] == ms
+                            else v) for k, v in mask_sampled.items()}
+                    ms = cap
                 mbinds = jnp.broadcast_to(
                     jnp.arange(b, dtype=jnp.float32)[:, None], (b, ms))
                 mrois = jnp.concatenate(

@@ -39,6 +39,15 @@ class MaskScoringRoIHead(StandardRoIHead):
         assert gt_mask_crops is not None, \
             'mask training requires gt_mask_crops in the batch'
         b, s = sampled['boxes'].shape[:2]
+        # positives-only mask branch (see StandardRoIHead._mask_forward_
+        # train: the sampler packs positives into the leading slots)
+        if hasattr(self.sampler, 'num') and hasattr(self.sampler,
+                                                    'pos_fraction'):
+            cap = min(s, int(self.sampler.num * self.sampler.pos_fraction))
+            rois = rois.reshape(b, s, 5)[:, :cap].reshape(b * cap, 5)
+            sampled = {k: (v[:, :cap] if v.ndim >= 2 and v.shape[1] == s
+                           else v) for k, v in sampled.items()}
+            s = cap
         mask_feats = self.mask_roi_extractor(
             {}, feats[:self.mask_roi_extractor.num_inputs], rois)
         mask_pred = self.mask_head(params['mask_head'], mask_feats)

@@ -227,8 +227,19 @@ class StandardRoIHead(Module):
         assert gt_mask_crops is not None, \
             'mask training requires gt_mask_crops in the batch'
         b, s = sampled['boxes'].shape[:2]
+        # the reference trains the mask branch on POSITIVE rois only
+        # (ref: standard_roi_head.py:196-205 pos_rois); the sampler packs
+        # selected positives into the leading slots (samplers.py top_k on
+        # 2.0/1.0 scores), so the first num*pos_fraction slots statically
+        # contain every positive — extract/deconv only those (4x less
+        # mask-branch work at pos_fraction=0.25)
+        cap = s
+        if hasattr(self.sampler, 'num') and hasattr(self.sampler,
+                                                    'pos_fraction'):
+            cap = min(s, int(self.sampler.num * self.sampler.pos_fraction))
+        rois_m = rois.reshape(b, s, 5)[:, :cap].reshape(b * cap, 5)
         mask_feats = self.mask_roi_extractor(
-            {}, feats[:self.mask_roi_extractor.num_inputs], rois)
+            {}, feats[:self.mask_roi_extractor.num_inputs], rois_m)
         if self.with_shared_head:
             mask_feats = self.shared_head(params['shared_head'], mask_feats)
         mask_pred = self.mask_head(params['mask_head'], mask_feats)
@@ -238,11 +249,15 @@ class StandardRoIHead(Module):
             return mask_target_from_crops(take_rows(crops, gt_inds),
                                           gt_boxes, boxes, mask_size=m)
 
-        targets = jax.vmap(tgt_one)(gt_mask_crops, sampled['gt_inds'],
-                                    sampled['gt_boxes'], sampled['boxes'])
-        labels = sampled['labels'].reshape(b * s)
-        pos = (sampled['is_pos'] & sampled['valid']).reshape(b * s)
-        return self.mask_head.loss(mask_pred, targets.reshape(b * s, m, m),
+        targets = jax.vmap(tgt_one)(gt_mask_crops,
+                                    sampled['gt_inds'][:, :cap],
+                                    sampled['gt_boxes'][:, :cap],
+                                    sampled['boxes'][:, :cap])
+        labels = sampled['labels'][:, :cap].reshape(b * cap)
+        pos = (sampled['is_pos'][:, :cap]
+               & sampled['valid'][:, :cap]).reshape(b * cap)
+        return self.mask_head.loss(mask_pred,
+                                   targets.reshape(b * cap, m, m),
                                    labels, pos)
 
     # ------------------------------------------------------------------
