@@ -273,6 +273,15 @@ class AnchorHead(Module):
             pc, pr = self.final_params(params, lvl)
             num_a = pc['bias'].shape[0] // co  # per-level (SSD varies)
             cls_t, reg_t = self._finals_cm(cls_feat, reg_feat, pc, pr)
+            # force_fp32 boundary (ref: @force_fp32 on get_bboxes,
+            # anchor_head.py:419) — the NHWC path casts here too. Beyond
+            # parity, this is ALSO the fix for the XLA TPU kernel-fault:
+            # the round-5 bisect (tools/bisect_kernel_fault.py) shrank the
+            # worker hard-fault to {resnet frontend + bf16 + the post-topk
+            # vmapped gather t[ai,:,xi] + bs8 + >=4 levels + >=2 towers};
+            # f32 at the same point compiles and runs clean.
+            cls_t = cls_t.astype(jnp.float32)
+            reg_t = reg_t.astype(jnp.float32)
             b, hw = cls_t.shape[0], cls_t.shape[-1]
             cls_t = cls_t.reshape(b, num_a, co, hw)
             reg_t = reg_t.reshape(b, num_a, 4, hw)

@@ -78,18 +78,26 @@ class SingleStageDetector(Module):
     def _head_bboxes(self, params, x, img_shapes, scale_factors, rescale):
         """Head inference; channel-major finals when the head supports them
         (see AnchorHead.get_bboxes_feats — avoids the NHWC lane-untile on
-        few-channel head outputs). OPT-IN via ARFE_TPU_CM_FINALS=1: on real
-        TPU the composed backbone+neck+CM-head graph trips an XLA codegen
-        fault (bare jit, bs8 — same family as the fori_loop fault noted in
-        bench.py); an optimization_barrier on the neck outputs avoids it but
-        also blocks the fusion that made CM profitable (measured 161.2 vs
-        164.4 img/s NHWC on RetinaNet bs8), so NHWC ships as default."""
+        few-channel head outputs). Opt-in via ARFE_TPU_CM_FINALS=1.
+
+        Round-5 bisect findings (tools/bisect_kernel_fault.py, log in
+        FAULT_BISECT_r05.md): the worker hard-fault needs ALL of {bf16
+        network, resnet frontend, bs8, >=4 levels, >=2 tower convs, a
+        tail containing the post-topk candidate gather}; bs4, 3 levels,
+        towers=0, a convs-only frontend, an all-f32 network, or stopping
+        the tail at top-k are each individually clean. A barrier at the
+        TOWER outputs does NOT unfault (only the neck-outputs barrier
+        does), and an f32 cast at the finals (reference force_fp32
+        boundary — kept, in AnchorHead.get_bboxes_feats) does not either:
+        the miscompile is global (scheduling/allocation class), not a
+        local fusion. XLA flag bisection is not actionable here: the
+        compile runs server-side over the axon tunnel and --xla_tpu_*
+        flags are unknown to the client parser. So the neck-outputs
+        barrier stays as the opt-in path's workaround, and NHWC stays the
+        default (161.2 vs 164.4 img/s measured round 4)."""
         import os
         if (getattr(self.bbox_head, 'cm_finals', False)
                 and os.environ.get('ARFE_TPU_CM_FINALS', '0') == '1'):
-            # Keep the barrier for the opt-in path: without it the composed
-            # graph kernel-faults the TPU worker. Head-only and op-isolated
-            # runs are clean.
             x = list(jax.lax.optimization_barrier(tuple(x)))
             return self.bbox_head.get_bboxes_feats(
                 params['bbox_head'], x, img_shapes, scale_factors,
