@@ -126,26 +126,31 @@ def _kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
     wy0, wy1 = v[2, :ns], v[3, :ns]
     x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
 
-    # x-interp selection matrix: one small single-pass matmul per y-sample
+    # x-interp selection matrix with the sn-fold: avg-pooling the sn
+    # x-samples of each output bin is linear, so fold it into the
+    # selection weights — ow matmul rows instead of ns
     ix = jax.lax.broadcasted_iota(jnp.int32, (ns, WW), 1).astype(jnp.float32)
     sx = ((ix == x0r[:, None]).astype(jnp.float32) * wx0[:, None]
           + (ix == x1r[:, None]).astype(jnp.float32) * wx1[:, None])
+    sxp = sx.reshape(ow, sn, WW).sum(axis=1)     # (ow, WW)
 
     # y-interp: dynamic 2-row slice + VPU FMA per sample row (a one-hot
-    # matmul over all WH rows would run the MXU at <5% utilization;
-    # folding the pair into the dot's K dim with y-scaled selection
-    # weights measured NEUTRAL — the kernel is per-grid-step
-    # overhead-bound at the real roi mix, not VPU- or DMA-bound)
-    samples = []
-    for iy in range(ns):
-        y0s = y0_ref[r * ns + iy]
-        pair = win[slot, pl.ds(y0s, 2)].astype(jnp.float32)  # (2, WW, c)
-        row = pair[0] * wy0[iy] + pair[1] * wy1[iy]          # (WW, c)
-        samples.append(jnp.dot(sx, row,
-                               preferred_element_type=jnp.float32))
-    samples = jnp.stack(samples)                 # (ns_y, ns_x, c)
-    pooled = samples.reshape(oh, sn, ow, sn, c).mean(axis=(1, 3))
-    out_ref[0] = pooled.astype(out_ref.dtype)
+    # matmul over all WH rows would run the MXU at <5% utilization),
+    # accumulated straight into the oh output bins — the pooling mean
+    # is linear in the rows too, so the kernel runs oh selection dots
+    # (K=WW) instead of ns and the stack/reshape/mean epilogue vanishes
+    inv = 1.0 / float(sn * sn)
+    for oy in range(oh):
+        row = None
+        for s in range(sn):
+            iy = oy * sn + s
+            y0s = y0_ref[r * ns + iy]
+            pair = win[slot, pl.ds(y0s, 2)].astype(jnp.float32)  # (2,WW,c)
+            add = pair[0] * wy0[iy] + pair[1] * wy1[iy]          # (WW, c)
+            row = add if row is None else row + add
+        pooled = jnp.dot(sxp, row,
+                         preferred_element_type=jnp.float32) * inv
+        out_ref[0, oy] = pooled.astype(out_ref.dtype)            # (ow, c)
 
 
 def _window_prep(rois, real_sizes, pad_sizes, target_lvls,
@@ -444,8 +449,51 @@ roi_align_auto.defvjp(_raa_fwd, _raa_bwd)
 
 
 
-def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
-                z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem, *,
+def _bwd_base_rows(vec_ref, g_ref, *, out_size, sample_num, c):
+    """Shared bwd compute: x-scatter the (oh, ow, c) cotangent into
+    window columns with ONE sn-folded one-hot matmul.
+
+    Returns (base, wy0, wy1): ``base[:, oy]`` is the (WW, c) column-
+    scattered gradient row shared by every y-sample in output bin
+    ``oy`` (already carrying the 1/sn^2 pooling mean), and wy0/wy1 are
+    the per-y-sample bilinear weights. The caller then accumulates
+    ``base`` into the window with per-sample 2-row slice RMW adds —
+    the exact transpose of the forward's y-interp slices. The earlier
+    formulation (one-hot y-scatter matmul over ALL WH window rows,
+    N = WW*c = 16384 -> 128 MXU tiles at ~11% M-utilization) was the
+    measured ~4 us/roi bottleneck of the train extract backward.
+
+    Zero-weight guarantee: x0r/x1r <= bucket_w - 1 for the RoI's
+    picked bucket, so iota columns beyond the bucket get exactly-zero
+    one-hot weights — the compute needs NO bucket branching; stale
+    window columns only ever receive +0.
+    """
+    oh, ow = out_size
+    sn = sample_num
+    ns = oh * sn
+    v = vec_ref[0]                      # (8, VW)
+    wy0, wy1 = v[2, :ns], v[3, :ns]
+    x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
+
+    ixT = jax.lax.broadcasted_iota(jnp.int32, (WW, ns), 0).astype(
+        jnp.float32)
+    sxT = ((ixT == x0r[None, :]).astype(jnp.float32) * wx0[None, :]
+           + (ixT == x1r[None, :]).astype(jnp.float32) * wx1[None, :])
+    # fold the sn x-samples of each output bin into one column (as a
+    # tiny one-hot matmul: Mosaic cannot shape-cast the lane dim)
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (ns, ow), 0) // sn
+            == jax.lax.broadcasted_iota(jnp.int32, (ns, ow), 1)
+            ).astype(jnp.float32)
+    sxp = jnp.dot(sxT, fold, preferred_element_type=jnp.float32)
+    g = g_ref[0].astype(jnp.float32)                    # (oh, ow, c)
+    gT = g.transpose(1, 0, 2).reshape(ow, oh * c)
+    base = jnp.dot(sxp, gT, preferred_element_type=jnp.float32)
+    base = base.reshape(WW, oh, c) * (1.0 / float(sn * sn))
+    return base, wy0, wy1
+
+
+def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
+                g_ref, z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem, *,
                 out_size, sample_num, c):
     """Scatter-transpose of :func:`_kernel`: per RoI, read-modify-write
     its gradient-buffer window. Strictly serialized (no double
@@ -476,36 +524,18 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
                 o0.at[0, pl.ds(0, bh), pl.ds(0, bw), :],
                 win.at[pl.ds(0, bh), pl.ds(0, bw)], rsem).wait()
 
-    oh, ow = out_size
     sn = sample_num
-    ns = oh * sn
-    v = vec_ref[0]                      # (8, VW)
-    y0r, y1r, wy0, wy1 = v[0, :ns], v[1, :ns], v[2, :ns], v[3, :ns]
-    x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
-
-    g = g_ref[0].astype(jnp.float32)    # (oh, ow, c)
-    g_s = jnp.repeat(jnp.repeat(g, sn, axis=0), sn, axis=1) \
-        / float(sn * sn)                # (ns, ns, c)
-
-    # x-scatter: window-cols x samples one-hot (transpose of fwd's sx)
-    ixT = jax.lax.broadcasted_iota(jnp.int32, (WW, ns), 0).astype(
-        jnp.float32)
-    sxT = ((ixT == x0r[None, :]).astype(jnp.float32) * wx0[None, :]
-           + (ixT == x1r[None, :]).astype(jnp.float32) * wx1[None, :])
-    rows = []
+    ns = out_size[0] * sn
+    base, wy0, wy1 = _bwd_base_rows(vec_ref, g_ref, out_size=out_size,
+                                    sample_num=sn, c=c)
+    # y-scatter: per-sample 2-row slice RMW (transpose of the fwd's
+    # y-interp dynamic slices); rows y0..y0+1 are in-window by the
+    # prep's pair clamp
     for iy in range(ns):
-        rows.append(jnp.dot(sxT, g_s[iy],
-                            preferred_element_type=jnp.float32))
-    rowg = jnp.stack(rows)              # (ns, WW, c)
-
-    # y-scatter: window-rows x samples one-hot, one MXU matmul
-    iyT = jax.lax.broadcasted_iota(jnp.int32, (WH, ns), 0).astype(
-        jnp.float32)
-    syT = ((iyT == y0r[None, :]).astype(jnp.float32) * wy0[None, :]
-           + (iyT == y1r[None, :]).astype(jnp.float32) * wy1[None, :])
-    win_add = jnp.dot(syT, rowg.reshape(ns, WW * c),
-                      preferred_element_type=jnp.float32)
-    win[...] = win[...] + win_add.reshape(WH, WW, c)
+        y0s = y0_ref[r * ns + iy]
+        row = base[:, iy // sn]                        # (WW, c)
+        pair = jnp.stack([row * wy0[iy], row * wy1[iy]])
+        win[pl.ds(y0s, 2)] = win[pl.ds(y0s, 2)] + pair
 
     for k in range(4):
         for code, bh, bw in _BUCKETS:
@@ -524,9 +554,9 @@ def _bwd_kernel(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
                 o0.at[0, pl.ds(0, bh), pl.ds(0, bw), :], wsem).wait()
 
 
-def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
-                     z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem, *,
-                     out_size, sample_num, c, nbuf, nr):
+def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, y0_ref, vec_ref,
+                     g_ref, z0, z1, z2, z3, o0, o1, o2, o3, win, rsem, wsem,
+                     *, out_size, sample_num, c, nbuf, nr):
     """Pipelined variant of :func:`_bwd_kernel`: RoI ``i`` accumulates into
     gradient-buffer set ``i % nbuf`` (the sets are folded into the batch
     dim of the out buffers — ``b_ref`` rows are ``set * B + b`` — so the
@@ -604,34 +634,15 @@ def _bwd_kernel_pipe(lvl_ref, b_ref, yo_ref, xo_ref, sm_ref, vec_ref, g_ref,
 
     wait_dma(rsem, slot, sm_ref[r])
 
-    oh, ow = out_size
     sn = sample_num
-    ns = oh * sn
-    v = vec_ref[0]                      # (8, VW)
-    y0r, y1r, wy0, wy1 = v[0, :ns], v[1, :ns], v[2, :ns], v[3, :ns]
-    x0r, x1r, wx0, wx1 = v[4, :ns], v[5, :ns], v[6, :ns], v[7, :ns]
-
-    g = g_ref[0].astype(jnp.float32)    # (oh, ow, c)
-    g_s = jnp.repeat(jnp.repeat(g, sn, axis=0), sn, axis=1) \
-        / float(sn * sn)                # (ns, ns, c)
-
-    ixT = jax.lax.broadcasted_iota(jnp.int32, (WW, ns), 0).astype(
-        jnp.float32)
-    sxT = ((ixT == x0r[None, :]).astype(jnp.float32) * wx0[None, :]
-           + (ixT == x1r[None, :]).astype(jnp.float32) * wx1[None, :])
-    rows = []
+    ns = out_size[0] * sn
+    base, wy0, wy1 = _bwd_base_rows(vec_ref, g_ref, out_size=out_size,
+                                    sample_num=sn, c=c)
     for iy in range(ns):
-        rows.append(jnp.dot(sxT, g_s[iy],
-                            preferred_element_type=jnp.float32))
-    rowg = jnp.stack(rows)              # (ns, WW, c)
-
-    iyT = jax.lax.broadcasted_iota(jnp.int32, (WH, ns), 0).astype(
-        jnp.float32)
-    syT = ((iyT == y0r[None, :]).astype(jnp.float32) * wy0[None, :]
-           + (iyT == y1r[None, :]).astype(jnp.float32) * wy1[None, :])
-    win_add = jnp.dot(syT, rowg.reshape(ns, WW * c),
-                      preferred_element_type=jnp.float32)
-    win[slot] = win[slot] + win_add.reshape(WH, WW, c)
+        y0s = y0_ref[r * ns + iy]
+        row = base[:, iy // sn]                        # (WW, c)
+        pair = jnp.stack([row * wy0[iy], row * wy1[iy]])
+        win[slot, pl.ds(y0s, 2)] = win[slot, pl.ds(y0s, 2)] + pair
 
     start_write(r, slot)
 
@@ -684,7 +695,7 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
                           for s in feat_shapes], np.int32)
 
     r = rois.shape[0]
-    (lvl_arr, b_arr, yorg, xorg, sm_arr, _y0_flat, vec) = _window_prep(
+    (lvl_arr, b_arr, yorg, xorg, sm_arr, y0_flat, vec) = _window_prep(
         rois, real_sizes, pad_sizes, target_lvls, featmap_strides,
         finest_scale, out_size, sn, aligned)
 
@@ -699,10 +710,6 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
 
     if nbuf > 1:
         b_arr = (jnp.arange(r, dtype=jnp.int32) % nbuf) * b + b_arr
-        zeros = [jnp.zeros((nbuf * b, int(ph), int(pw), c), jnp.float32)
-                 for ph, pw in pad_sizes]
-        kernel = functools.partial(_bwd_kernel_pipe, out_size=out_size,
-                                   sample_num=sn, c=c, nbuf=nbuf, nr=r)
         scratch = [
             pltpu.VMEM((nbuf, WH, WW, c), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -710,43 +717,56 @@ def roi_align_pallas_bwd(g, rois, feat_shapes,
         ]
         nrows = nbuf * b
     else:
-        zeros = [jnp.zeros((b, int(ph), int(pw), c), jnp.float32)
-                 for ph, pw in pad_sizes]
-        kernel = functools.partial(_bwd_kernel, out_size=out_size,
-                                   sample_num=sn, c=c)
         scratch = [
             pltpu.VMEM((WH, WW, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
         nrows = b
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(r,),
-        in_specs=[
-            pl.BlockSpec((1, 8, _vec_width(ns)),
-                         lambda i, *refs: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oh, ow, c), lambda i, *refs: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        scratch_shapes=scratch,
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nrows, int(ph), int(pw), c),
-                                        jnp.float32)
-                   for ph, pw in pad_sizes],
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lvl_arr, b_arr, yorg, xorg, sm_arr, vec, g.astype(jnp.float32),
-      *zeros)
+    outs = [jnp.zeros((nrows, int(ph), int(pw), c), jnp.float32)
+            for ph, pw in pad_sizes]
+    g = g.astype(jnp.float32)
+
+    # chunk the grid like the forward so the scalar-prefetch payload
+    # (y0: ns i32/roi) stays inside SMEM; the accumulator buffers chain
+    # through the calls via input_output_aliases
+    chunk = _smem_chunk_rois(ns)
+    for s0 in range(0, r, chunk):
+        cr = min(chunk, r - s0)
+        if nbuf > 1:
+            kernel = functools.partial(_bwd_kernel_pipe, out_size=out_size,
+                                       sample_num=sn, c=c, nbuf=nbuf, nr=cr)
+        else:
+            kernel = functools.partial(_bwd_kernel, out_size=out_size,
+                                       sample_num=sn, c=c)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(cr,),
+            in_specs=[
+                pl.BlockSpec((1, 8, _vec_width(ns)),
+                             lambda i, *refs: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, oh, ow, c), lambda i, *refs: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            scratch_shapes=scratch,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(o.shape, jnp.float32)
+                       for o in outs],
+            input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(lvl_arr[s0:s0 + cr], b_arr[s0:s0 + cr], yorg[s0:s0 + cr],
+          xorg[s0:s0 + cr], sm_arr[s0:s0 + cr],
+          y0_flat[s0 * ns:(s0 + cr) * ns], vec[s0:s0 + cr],
+          g[s0:s0 + cr], *outs)
     if nbuf > 1:
         outs = [o.reshape(nbuf, b, *o.shape[1:]).sum(axis=0) for o in outs]
     # crop padding back to the real level extents
